@@ -1,0 +1,170 @@
+"""Pallas TPU flash attention with key-validity masking.
+
+The hot op of the FRESCO denoise loop: efficient cross-frame attention
+attends every frame's queries against the *union of non-occluded patches
+of all frames* (reference src/diffusion_hacked.py:225-247).  At 512px
+that is Sq=4096 queries vs Sk=F*4096≈32k keys per frame per layer —
+materializing logits would need tens of GB, so the reference relies on
+torch SDPA; here it is an online-softmax Pallas kernel that keeps the
+running (m, l, acc) statistics in VMEM and streams key blocks from HBM,
+with an optional per-key boolean mask (broadcast over queries) fused
+into the logit pass.
+
+Layouts: q [B, H, Sq, D], k/v [B, H, Sk, D], key_mask [B, Sk] (True ==
+attend).  Head dim is zero-padded to a lane multiple inside the wrapper
+(zero-padding q/k leaves logits unchanged; padded v columns are sliced
+off).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, num_k_blocks
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr[:], NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    q = q_ref[0].astype(jnp.float32)  # [bq, d]
+    k = k_ref[0].astype(jnp.float32)  # [bk, d]
+    v = v_ref[0].astype(jnp.float32)  # [bk, d]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    mask = mask_ref[0, 0]  # [bk] bool
+    s = jnp.where(mask[None, :], s, NEG_INF)
+
+    m_prev = m_scr[:]  # [bq, 1]
+    l_prev = l_scr[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    p = jnp.where(mask[None, :], p, 0.0)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+        p, v, preferred_element_type=jnp.float32
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        l = l_scr[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def _flash_padded(q, k, v, key_mask, *, scale, block_q, block_k, interpret):
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    nq = sq // block_q
+    nk = sk // block_k
+
+    grid = (bh, nq, nk)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, num_k_blocks=nk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, qi, ki: (b, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, key_mask)
+    return out
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray | None = None,
+    *,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Masked flash attention.  q [B,H,Sq,D], k/v [B,H,Sk,D] -> [B,H,Sq,D].
+
+    ``key_mask`` [B, Sk] marks attendable keys (shared by all queries, the
+    shape of FRESCO's cross-frame validity masks).  Runs as a Pallas TPU
+    kernel; on CPU (tests) it runs in interpreter mode automatically.
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    if key_mask is None:
+        key_mask = jnp.ones((b, sk), dtype=bool)
+
+    block_q = min(block_q, _round_up(sq, 128))
+    block_k = min(block_k, _round_up(sk, 128))
+
+    # pad seq lens to block multiples, head dim to a lane multiple
+    sq_p = _round_up(sq, block_q)
+    sk_p = _round_up(sk, block_k)
+    d_p = _round_up(d, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
+    maskp = jnp.pad(key_mask, ((0, 0), (0, sk_p - sk)))  # padded keys invalid
+
+    qp = qp.reshape(b * h, sq_p, d_p)
+    kp = kp.reshape(b * h, sk_p, d_p)
+    vp = vp.reshape(b * h, sk_p, d_p)
+    maskp = jnp.repeat(maskp, h, axis=0)[:, None, :]  # [BH, 1, Sk]
+
+    out = _flash_padded(
+        qp, kp, vp, maskp,
+        scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+    out = out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
+    return out
+
+
+def naive_attention(q, k, v, key_mask=None, *, scale=None):
+    """Reference O(Sq·Sk) attention for tests and tiny shapes."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if key_mask is not None:
+        s = jnp.where(key_mask[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)

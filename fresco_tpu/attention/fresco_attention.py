@@ -1,0 +1,243 @@
+"""FRESCO-guided self-attention, functional.
+
+The reference hacks diffusers' attention processors on UNet up_blocks
+2/3 (src/diffusion_hacked.py:142-403) with a stateful controller.  Here
+the whole mechanism is a pure function over a ``FrescoAttnParams``
+pytree, so it lives inside one jitted, scanned sampler:
+
+  1. *Efficient cross-frame attention* (diffusion_hacked.py:224-247):
+     K/V come from the union of valid (non-occluded) patches of all
+     frames — expressed as masked flash attention over all F·hw keys
+     with a per-key validity mask (static shapes, no gather).
+  2. *Spatial-guided attention* (diffusion_hacked.py:256-288): the
+     attention pattern of the *input frame's* features (captured in a
+     reference pass) redistributes the current queries:
+     q <- SDPA(q_ref, s·k_ref, q).
+  3. *Temporal-guided (FLATTEN) attention* (diffusion_hacked.py:308-368):
+     gather tokens along flow trajectories, attend across the frame axis
+     (tiny F×F scores, batched over hw·heads), scatter back.
+
+Per-step gating (spatial only in early steps, temporal only at high t —
+reference pipe_FRESCO.py:171-174) arrives as traced booleans and is
+applied with ``lax.cond`` so both paths live in one compiled program.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from fresco_tpu.attention.flash import flash_attention
+
+
+@flax.struct.dataclass
+class FrescoAttnParams:
+    """Precomputed FRESCO attention parameters for one keyframe batch.
+
+    Per-scale entries are dicts keyed by hw (=h*w at that feature scale),
+    with static key sets.  ``None`` disables a mechanism entirely
+    (static); the ``use_*`` booleans gate per-step (traced).
+    """
+
+    # cross-frame: key-validity masks per scale {hw: bool [F, hw]}
+    cf_masks: Any = None
+    # spatial-guided: per-fresco-layer reference hidden states, in the
+    # order the UNet visits its FRESCO attention layers: tuple of [B, hw, C]
+    ref_features: Any = None
+    # temporal-guided: {hw: (fwd_map [F,hw], bwd_map [F,hw], mask [hw,F,F])}
+    trajectories: Any = None
+    # traced per-step gates
+    use_intra: jnp.ndarray = flax.struct.field(default_factory=lambda: jnp.array(False))
+    use_inter: jnp.ndarray = flax.struct.field(default_factory=lambda: jnp.array(False))
+    # scale factors (static floats)
+    intra_scale: float = flax.struct.field(pytree_node=False, default=0.2)
+    inter_scale: float = flax.struct.field(pytree_node=False, default=0.2)
+    # CFG chunking: batch is [chunk * F]
+    chunk: int = flax.struct.field(pytree_node=False, default=2)
+
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    b, s, c = x.shape
+    return x.reshape(b, s, heads, c // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def _sdpa(q, k, v, mask=None, scale=None):
+    """Small dense SDPA (used for the tiny F×F trajectory attention and
+    the per-frame spatial-guided redistribution)."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    s = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    if mask is not None:
+        s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("...qk,...kd->...qd", p, v)
+
+
+def cross_frame_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray | None,
+    chunk: int,
+    heads: int,
+) -> jnp.ndarray:
+    """Attend each frame's queries against all frames' keys, masked.
+
+    q/k/v: [chunk*F, hw, C]; key_mask: [F, hw] bool or None (None ==
+    attend only frame 0, the reference's maskless mode,
+    diffusion_hacked.py:236-237,243-244).
+    """
+    b, hw, c = q.shape
+    f = b // chunk
+    # All frames in a chunk share one key set, so fold the frame axis into
+    # the query sequence instead of replicating K/V F times: one flash call
+    # with B=chunk, Sq=F*hw, Sk=F*hw.
+    qq = q.reshape(chunk, f * hw, c)
+    kk = k.reshape(chunk, f * hw, c)
+    vv = v.reshape(chunk, f * hw, c)
+    if key_mask is None:
+        mask = jnp.zeros((f, hw), dtype=bool).at[0].set(True).reshape(-1)
+    else:
+        mask = key_mask.reshape(-1)
+    mask_b = jnp.broadcast_to(mask[None], (chunk, f * hw))
+    out = flash_attention(
+        _split_heads(qq, heads), _split_heads(kk, heads), _split_heads(vv, heads),
+        key_mask=mask_b,
+    )
+    return _merge_heads(out).reshape(b, hw, c)
+
+
+def spatial_guided_query(
+    q: jnp.ndarray,
+    ref_q: jnp.ndarray,
+    ref_k: jnp.ndarray,
+    heads: int,
+    scale_factor: float,
+) -> jnp.ndarray:
+    """Redistribute current queries by the input frame's attention.
+
+    Equivalent of diffusion_hacked.py:278-285: per-frame
+    SDPA(query=ref_q, key=ref_k*scale_factor, value=q) with zero identity
+    bias (intraattn_bias == 0 in the reference, so no bias term).
+    """
+    qh = _split_heads(q, heads)
+    rq = _split_heads(ref_q, heads)
+    rk = _split_heads(ref_k, heads) * scale_factor
+    out = _sdpa(rq, rk, qh)
+    return _merge_heads(out)
+
+
+def trajectory_attention(
+    q_raw: jnp.ndarray,
+    k_raw: jnp.ndarray,
+    hidden: jnp.ndarray,
+    fwd_map: jnp.ndarray,
+    bwd_map: jnp.ndarray,
+    traj_mask: jnp.ndarray,
+    chunk: int,
+    heads: int,
+    scale_factor: float,
+) -> jnp.ndarray:
+    """Temporal-guided attention along flow trajectories (FLATTEN).
+
+    q_raw/k_raw: [chunk*F, hw, C] pre-attention projections;
+    hidden: [chunk*F, hw, C] output of the main attention (its values);
+    fwd_map/bwd_map: int32 [F, hw]; traj_mask: bool [hw, F, F].
+    Mirrors diffusion_hacked.py:308-368.
+    """
+    b, hw, c = q_raw.shape
+    f = b // chunk
+
+    def gather_traj(x):  # [chunk*F, hw, C] -> [chunk, F, hw, C] trajectory-aligned
+        xr = x.reshape(chunk, f, hw, c)
+        idx = fwd_map[None, :, :, None]
+        return jnp.take_along_axis(xr, jnp.broadcast_to(idx, xr.shape), axis=2)
+
+    qt = gather_traj(q_raw)
+    kt = gather_traj(k_raw)
+    vt = gather_traj(hidden)
+
+    # -> [chunk*hw, heads, F, d]: attention across the frame axis
+    def to_traj_tokens(x):
+        x = x.reshape(chunk, f, hw, heads, c // heads)
+        return x.transpose(0, 2, 3, 1, 4).reshape(chunk * hw, heads, f, c // heads)
+
+    qh = to_traj_tokens(qt)
+    kh = to_traj_tokens(kt) * scale_factor
+    vh = to_traj_tokens(vt)
+    mask = jnp.tile(traj_mask[:, None], (chunk, 1, 1, 1))  # [chunk*hw, 1, F, F]
+    out = _sdpa(qh, kh, vh, mask=mask)  # [chunk*hw, heads, F, d]
+
+    out = out.reshape(chunk, hw, heads, f, c // heads).transpose(0, 3, 1, 2, 4)
+    out = out.reshape(chunk, f, hw, c)
+    idx = bwd_map[None, :, :, None]
+    out = jnp.take_along_axis(out, jnp.broadcast_to(idx, out.shape), axis=2)
+    return out.reshape(b, hw, c)
+
+
+def fresco_self_attention(
+    x: jnp.ndarray,
+    wq, wk, wv, wo,
+    heads: int,
+    fresco: FrescoAttnParams | None,
+    layer_index: int,
+):
+    """Full FRESCO self-attention for one UNet layer.
+
+    x: [B, hw, C] normalized hidden states; w*: projection callables
+    (linen Dense bound modules or plain functions).  ``layer_index``
+    selects this layer's stored reference features.
+    """
+    q = wq(x)
+    k = wk(x)
+    v = wv(x)
+
+    if fresco is None:
+        out = flash_attention(
+            _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads)
+        )
+        return wo(_merge_heads(out))
+
+    hw = x.shape[1]
+    q_raw, k_raw = q, k
+
+    # 2. spatial-guided query redistribution (gated per step)
+    if fresco.ref_features is not None:
+        ref = fresco.ref_features[layer_index]
+        ref_q = wq(ref)
+        ref_k = wk(ref)
+        q = jax.lax.cond(
+            fresco.use_intra,
+            lambda a: spatial_guided_query(a, ref_q, ref_k, heads, fresco.intra_scale),
+            lambda a: a,
+            q,
+        )
+
+    # 1. efficient cross-frame attention (static on/off)
+    cf_mask = None
+    if fresco.cf_masks is not None and hw in fresco.cf_masks:
+        cf_mask = fresco.cf_masks[hw]
+    hidden = cross_frame_attention(q, k, v, cf_mask, fresco.chunk, heads)
+
+    # 3. temporal-guided trajectory attention (gated per step)
+    if fresco.trajectories is not None and hw in fresco.trajectories:
+        fwd_map, bwd_map, traj_mask = fresco.trajectories[hw]
+        hidden = jax.lax.cond(
+            fresco.use_inter,
+            lambda h: trajectory_attention(
+                q_raw, k_raw, h, fwd_map, bwd_map, traj_mask,
+                fresco.chunk, heads, fresco.inter_scale,
+            ),
+            lambda h: h,
+            hidden,
+        )
+
+    return wo(hidden)

@@ -1,0 +1,139 @@
+"""FRESCO feature optimization: inner Adam loop on UNet decoder features.
+
+Equivalent of reference src/diffusion_hacked.py:416-488
+(``optimize_feature``): at selected timesteps/decoder stages, the decoder
+feature is optimized for ``iters`` Adam steps against
+
+  * a temporal loss — L1 between each frame and its flow-warped neighbor
+    on non-occluded pixels (both directions, with the roll-by-one frame
+    pairing), and
+  * a spatial loss — L1 between the cosine-similarity gram matrix of the
+    feature and a reference gram (``correlation``) captured from the
+    input frames,
+
+then AdaIN-renormalized to the original feature statistics.  JAX-native
+design: the loss is a pure function of the feature (no UNet backprop —
+the reference detaches everything else too), the Adam loop is a
+``lax.scan`` of optax updates, all in fp32 inside a bf16 UNet
+(diffusion_hacked.py:430 upcasts the same way).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fresco_tpu.ops.adain import adain
+from fresco_tpu.ops.blend import prepare_flow_for_scale
+from fresco_tpu.ops.warp import flow_warp
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    iters: int = 20          # diffusion_hacked.py:417
+    lr: float = 0.2          # diffusion_hacked.py:433
+    intra_weight: float = 1e2
+    optimize_temporal: bool = True
+    chunk: int = 2
+
+
+def temporal_loss(
+    cs: jnp.ndarray,
+    fwd_flow: jnp.ndarray,
+    bwd_flow: jnp.ndarray,
+    fwd_occ: jnp.ndarray,
+    bwd_occ: jnp.ndarray,
+    chunk: int,
+) -> jnp.ndarray:
+    """Bidirectional warp-consistency L1 (diffusion_hacked.py:461-466).
+
+    cs: [chunk*F, h, w, C]; flows/occs already at feature resolution
+    ([F, h, w, 2] / [F, h, w, 1]), tiled over the chunk axis here.
+    """
+    b = cs.shape[0]
+    f = b // chunk
+    c1 = cs
+    c2 = cs.reshape(chunk, f, *cs.shape[1:])
+    c2 = jnp.roll(c2, -1, axis=1).reshape(cs.shape)
+
+    def tile(x):
+        return jnp.tile(x, (chunk, 1, 1, 1))
+
+    warped1 = flow_warp(c1, tile(bwd_flow))
+    warped2 = flow_warp(c2, tile(fwd_flow))
+    l = jnp.abs((c2 - warped1) * (1.0 - tile(bwd_occ))) + jnp.abs(
+        (c1 - warped2) * (1.0 - tile(fwd_occ))
+    )
+    return jnp.mean(l) * 2.0
+
+
+def spatial_loss(cs: jnp.ndarray, correlation: jnp.ndarray) -> jnp.ndarray:
+    """L1 between normalized-feature gram and the reference gram
+    (diffusion_hacked.py:469-476).  correlation: [B, hw, hw] fp32."""
+    b, h, w, c = cs.shape
+    v = cs.reshape(b, h * w, c)
+    v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
+    gram = jnp.einsum(
+        "bic,bjc->bij", v, v, preferred_element_type=jnp.float32
+    )
+    return jnp.mean(jnp.abs(gram - correlation))
+
+
+def optimize_feature(
+    sample: jnp.ndarray,
+    fwd_flow: jnp.ndarray | None,
+    bwd_flow: jnp.ndarray | None,
+    fwd_occ: jnp.ndarray | None,
+    bwd_occ: jnp.ndarray | None,
+    correlation: jnp.ndarray | None,
+    cfg: GuidanceConfig = GuidanceConfig(),
+) -> jnp.ndarray:
+    """Run the inner Adam loop on one decoder feature map.
+
+    sample: [chunk*F, h, w, C] (any dtype; optimized in fp32);
+    flows [F, H, W, 2] at *full* video resolution (rescaled here, matching
+    diffusion_hacked.py:436-442); correlation [chunk*F, hw, hw] or None.
+    Returns the optimized feature AdaIN-matched to ``sample``'s stats.
+    """
+    do_temporal = cfg.optimize_temporal and fwd_flow is not None
+    do_spatial = correlation is not None and cfg.intra_weight > 0
+    if not do_temporal and not do_spatial:
+        return sample
+
+    h, w = sample.shape[1:3]
+    if do_temporal:
+        bwd_flow_s, bwd_occ_s = prepare_flow_for_scale(
+            bwd_flow, bwd_occ, (h, w), dilate_full_res=False
+        )
+        fwd_flow_s, fwd_occ_s = prepare_flow_for_scale(
+            fwd_flow, fwd_occ, (h, w), dilate_full_res=False
+        )
+
+    x0 = sample.astype(jnp.float32)
+
+    def loss_fn(cs):
+        loss = 0.0
+        if do_temporal:
+            loss = loss + temporal_loss(
+                cs, fwd_flow_s, bwd_flow_s, fwd_occ_s, bwd_occ_s, cfg.chunk
+            )
+        if do_spatial:
+            loss = loss + cfg.intra_weight * spatial_loss(cs, correlation)
+        return loss
+
+    tx = optax.adam(cfg.lr)  # torch Adam defaults: b1=.9, b2=.999, eps=1e-8
+
+    def step(carry, _):
+        cs, opt_state = carry
+        g = jax.grad(loss_fn)(cs)
+        updates, opt_state = tx.update(g, opt_state, cs)
+        return (optax.apply_updates(cs, updates), opt_state), None
+
+    (cs, _), _ = jax.lax.scan(
+        step, (x0, tx.init(x0)), None, length=cfg.iters
+    )
+    out = adain(cs, x0)
+    return out.astype(sample.dtype)
