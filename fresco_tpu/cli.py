@@ -1,0 +1,56 @@
+"""CLI entry point, reference-compatible.
+
+``python -m fresco_tpu.cli <config.yaml>`` mirrors
+``python run_fresco.py <config.yaml>`` (reference run_fresco.py:302-318):
+keyframe translation followed by full-video propagation.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from fresco_tpu.core.config import load_config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="FRESCO-TPU video translation")
+    parser.add_argument("config_path", type=str, help="YAML configuration file")
+    parser.add_argument("--tiny", action="store_true",
+                        help="tiny random-weight models (smoke runs)")
+    parser.add_argument("--keyframes-only", action="store_true",
+                        help="skip full-video propagation")
+    opt = parser.parse_args(argv)
+
+    config = load_config(opt.config_path)
+    print("=" * 80)
+    for k, v in sorted(vars(config).items()):
+        print(f"{k}: {v}")
+    print("=" * 80)
+
+    from fresco_tpu.pipeline.runner import FrescoPipeline
+
+    pipe = FrescoPipeline(config, tiny=opt.tiny)
+    keys = pipe.translate_keyframes()
+
+    if not opt.keyframes_only and config.run_ebsynth:
+        from fresco_tpu.propagate.video_blend import blend_video
+
+        import cv2
+
+        cap = cv2.VideoCapture(config.file_path)
+        fps = int(cap.get(cv2.CAP_PROP_FPS))
+        cap.release()
+        blend_video(
+            config.save_path,
+            key_ind=keys,
+            key_dir="keys",
+            output=os.path.join(config.save_path, "blend.mp4"),
+            fps=fps,
+            n_proc=config.max_process,
+            poisson=True,
+        )
+    print("Done")
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,7 @@ class FrescoSampler:
         """Static per-step gate arrays for the scan (pipe_FRESCO.py:171-174,
         222-228; run_fresco.py:232 end_opt_step)."""
         s = self.scheduler
-        ts = np.asarray(s.timesteps)[cfg.num_warmup_steps :]
+        ts = s.timesteps_np[cfg.num_warmup_steps :]
         idx = np.arange(len(ts)) + cfg.num_warmup_steps
         return dict(
             t=jnp.asarray(ts),

@@ -41,11 +41,18 @@ class DDPMScheduler:
         return jnp.cumprod(1.0 - self.betas)
 
     @property
+    def timesteps_np(self):
+        """Descending inference timesteps as host numpy (static metadata
+        usable inside jitted code)."""
+        import numpy as np
+
+        step = self.num_train_timesteps // self.num_inference_steps
+        return (np.arange(self.num_inference_steps) * step)[::-1].astype("int32")
+
+    @property
     def timesteps(self) -> jnp.ndarray:
         """Descending inference timesteps (diffusers DDPMScheduler.set_timesteps)."""
-        step = self.num_train_timesteps // self.num_inference_steps
-        t = (jnp.arange(self.num_inference_steps) * step).round().astype(jnp.int32)
-        return t[::-1]
+        return jnp.asarray(self.timesteps_np)
 
     def previous_timestep(self, t: jnp.ndarray) -> jnp.ndarray:
         return t - self.num_train_timesteps // self.num_inference_steps

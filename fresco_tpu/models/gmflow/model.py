@@ -122,13 +122,16 @@ def shifted_window_mask(h: int, w: int, k: int) -> jnp.ndarray:
 
     wh, ww = h // k, w // k
     sh, sw = wh // 2, ww // 2
-    img = np.zeros((1, h, w, 1), np.float32)
+    img = np.zeros((h, w), np.float32)
     cnt = 0
     for hs in (slice(0, -wh), slice(-wh, -sh), slice(-sh, None)):
         for ws in (slice(0, -ww), slice(-ww, -sw), slice(-sw, None)):
-            img[:, hs, ws, :] = cnt
+            img[hs, ws] = cnt
             cnt += 1
-    win = np.asarray(split_windows(jnp.asarray(img), k)).reshape(-1, wh * ww)
+    # numpy window partition (static, built at trace time)
+    win = (
+        img.reshape(k, wh, k, ww).transpose(0, 2, 1, 3).reshape(k * k, wh * ww)
+    )
     diff = win[:, None, :] - win[:, :, None]
     return jnp.asarray(np.where(diff != 0, -100.0, 0.0), jnp.float32)
 

@@ -144,6 +144,11 @@ class SelfAttention(nn.Module):
         wk = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_k")
         wv = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_v")
         wo = nn.Dense(c, dtype=self.dtype, name="to_out")
+        if layer_index >= 0:
+            # reference pass: capture the (post-norm) hidden states the
+            # spatial-guided attention replays (diffusion_hacked.py:206-207,
+            # 256-261).  Collected via apply(mutable=['intermediates']).
+            self.sow("intermediates", "fresco_ref", x)
         return fresco_self_attention(x, wq, wk, wv, wo, self.heads, fresco, layer_index)
 
 
@@ -293,11 +298,12 @@ class UNet2DCondition(nn.Module):
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
                 h = ResnetBlock(ch, c.norm_groups, self.dtype, name=f"up_{i}_res_{j}")(h, temb)
                 if has_attn:
+                    is_fresco_layer = i in c.fresco_up_blocks
                     h = Transformer2D(
                         c.attention_heads, c.norm_groups, self.dtype,
                         name=f"up_{i}_attn_{j}",
-                    )(h, context, blk_fresco, fresco_layer if blk_fresco is not None else -1)
-                    if blk_fresco is not None:
+                    )(h, context, blk_fresco, fresco_layer if is_fresco_layer else -1)
+                    if is_fresco_layer:
                         fresco_layer += 1
             if i < len(rev) - 1:
                 h = Upsample(ch, self.dtype, name=f"up_{i}_upsample")(h)

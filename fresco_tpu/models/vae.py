@@ -29,7 +29,10 @@ class VAEConfig:
 
     @staticmethod
     def tiny() -> "VAEConfig":
-        return VAEConfig(block_out_channels=(8, 16), layers_per_block=1, norm_groups=4)
+        # 4 blocks = 3 downsamples, keeping the real /8 latent ratio
+        return VAEConfig(
+            block_out_channels=(8, 8, 16, 16), layers_per_block=1, norm_groups=4
+        )
 
 
 class ResnetBlock(nn.Module):

@@ -1,0 +1,162 @@
+"""FRESCO parameter preparation for one keyframe batch.
+
+Equivalents of reference src/diffusion_hacked.py PART III:
+
+  * ``interframe_params`` (diffusion_hacked.py:904-957): bidirectional
+    GMFlow, forward-backward + photo-consistency occlusion, cross-frame
+    key-validity masks at 1/8, 1/16, 1/32 scale, and FLATTEN trajectory
+    mappings at 1/8, 1/16.
+  * ``intraframe_params`` (diffusion_hacked.py:842-901): one denoising
+    pass at the *last* timestep over the VAE-encoded noisy inputs,
+    capturing (a) the decoder self-attention hidden states used by
+    spatial-guided attention and (b) the per-stage normalized-feature
+    gram matrices used by the spatial feature-optimization loss.
+
+Everything is device-side and jittable; shapes are static per video
+resolution / batch size.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from fresco_tpu.attention.fresco_attention import FrescoAttnParams
+from fresco_tpu.diffusion.scheduler import DDPMScheduler
+from fresco_tpu.ops.mapping import batch_mappings
+from fresco_tpu.ops.resize import resize_bilinear
+from fresco_tpu.ops.warp import flow_warp, forward_backward_consistency
+
+
+def interframe_params(
+    flow_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    frames_255: jnp.ndarray,
+    *,
+    photo_thresh: float = 0.25,
+    mask_scales: tuple[int, ...] = (8, 16, 32),
+    traj_scales: tuple[int, ...] = (8, 16),
+):
+    """Flows, occlusions, cross-frame masks, trajectories for a batch.
+
+    flow_fn(img0, img1) -> [2B, H, W, 2] bidirectional flow (GMFlow.apply
+    bound with params); frames_255: [F, H, W, 3] in [0, 255].
+    """
+    f, H, W, _ = frames_255.shape
+    rolled = jnp.roll(frames_255, -1, axis=0)
+    flow_bidir = flow_fn(frames_255, rolled)
+    fwd_flows, bwd_flows = flow_bidir[:f], flow_bidir[f:]
+    fwd_occs, bwd_occs = forward_backward_consistency(fwd_flows, bwd_flows)
+
+    # photo-consistency augmentation (diffusion_hacked.py:922-926)
+    warped1 = flow_warp(frames_255, bwd_flows)
+    bwd_occs = jnp.clip(
+        bwd_occs
+        + (jnp.mean(jnp.abs(rolled - warped1), axis=-1) > 255.0 * photo_thresh),
+        0.0, 1.0,
+    )
+    warped2 = flow_warp(rolled, fwd_flows)
+    fwd_occs = jnp.clip(
+        fwd_occs
+        + (jnp.mean(jnp.abs(frames_255 - warped2), axis=-1) > 255.0 * photo_thresh),
+        0.0, 1.0,
+    )
+
+    # cross-frame attention key-validity masks (diffusion_hacked.py:935-938):
+    # frame 0's keys always valid; frame i>0 keys valid where the bwd
+    # occlusion (pair i-1) is high — i.e. where frame i is NOT already
+    # covered by frame i-1's content.
+    cf_masks = {}
+    for scale in mask_scales:
+        h, w = H // scale, W // scale
+        occ_s = resize_bilinear(bwd_occs[: f - 1, :, :, None], (h, w))[..., 0]
+        mask = jnp.concatenate(
+            [jnp.ones((1, h * w), bool), occ_s.reshape(f - 1, -1) > 0.5], axis=0
+        )
+        cf_masks[h * w] = mask
+
+    # FLATTEN trajectories (diffusion_hacked.py:940-947); frames in [-1,1]
+    frames_unit = frames_255 / 255.0 * 2.0 - 1.0
+    trajectories = {}
+    for scale in traj_scales:
+        h, w = H // scale, W // scale
+        fwd_m, bwd_m, tmask = batch_mappings(
+            bwd_flows, bwd_occs, frames_unit, float(scale)
+        )
+        trajectories[h * w] = (fwd_m, bwd_m, tmask)
+
+    return (fwd_flows, bwd_flows), (fwd_occs, bwd_occs), cf_masks, trajectories
+
+
+def intraframe_params(
+    unet,
+    vae,
+    params: dict,
+    scheduler: DDPMScheduler,
+    frames: jnp.ndarray,
+    prompt_embeds: jnp.ndarray,
+    rng: jax.Array,
+):
+    """Reference pass: decoder attention features + per-stage grams.
+
+    frames: [F, H, W, 3] in [-1,1]; prompt_embeds: [2F, 77, 768].
+    Returns (ref_features tuple ordered by fresco layer, {stage: gram}).
+    """
+    f = frames.shape[0]
+    rng_noise, rng_enc = jax.random.split(rng)
+    t_last = scheduler.timesteps[-1]
+    latent_x0 = vae.apply(
+        params["vae"], frames, rng=rng_enc, method=vae.encode
+    ).astype(jnp.float32)
+    noise = jax.random.normal(rng_noise, latent_x0.shape, jnp.float32)
+    latents = scheduler.add_noise(latent_x0, noise, t_last)
+
+    lmi = jnp.concatenate([latents] * 2, axis=0)
+    (eps, up_features), state = unet.apply(
+        params["unet"], lmi, t_last, prompt_embeds,
+        return_up_features=True, mutable=["intermediates"],
+    )
+
+    # gram matrices (diffusion_hacked.py:888-894)
+    correlations = {}
+    for stage, feat in enumerate(up_features):
+        b, h, w, c = feat.shape
+        v = feat.astype(jnp.float32).reshape(b, h * w, c)
+        v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
+        correlations[stage] = jnp.einsum(
+            "bic,bjc->bij", v, v, preferred_element_type=jnp.float32
+        )
+
+    # stored attention inputs, ordered by module path == visit order
+    inter = state["intermediates"]
+    stored = []
+
+    def collect(tree, path=()):
+        if isinstance(tree, dict):
+            for k in sorted(tree.keys()):
+                collect(tree[k], path + (k,))
+        else:
+            stored.append((path, tree))
+
+    collect(inter)
+    ref_features = tuple(v[0] if isinstance(v, tuple) else v for _, v in stored)
+    return ref_features, correlations
+
+
+def build_attn_params(
+    cf_masks,
+    ref_features,
+    trajectories,
+    *,
+    chunk: int = 2,
+    intra_scale: float = 0.2,
+    inter_scale: float = 0.2,
+) -> FrescoAttnParams:
+    return FrescoAttnParams(
+        cf_masks=cf_masks,
+        ref_features=ref_features,
+        trajectories=trajectories,
+        intra_scale=intra_scale,
+        inter_scale=inter_scale,
+        chunk=chunk,
+    )

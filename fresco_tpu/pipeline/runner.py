@@ -1,0 +1,347 @@
+"""Pipeline orchestration: models, batching, end-to-end video translation.
+
+Equivalent of reference run_fresco.py (get_models :23-100,
+run_keyframe_translation :111-270): build/load the model stack, select
+keyframes, and translate keyframe batches with inter-batch latent
+propagation.  All device work — parameter prep, the denoise loop, VAE
+decode — is jitted per (batch, resolution) shape; the host only decodes
+video frames and saves PNGs.
+
+Checkpoints: torch/diffusers files converted on load
+(fresco_tpu.models.convert).  Without checkpoints (this offline
+environment), models initialize randomly — same graph, same performance,
+useful for smoke runs and benchmarking.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fresco_tpu.core.config import FrescoConfig, default_prompts, keyframe_sublists
+from fresco_tpu.diffusion.guidance import GuidanceConfig
+from fresco_tpu.diffusion.sampler import FrescoSampler, FrescoState, SamplerConfig
+from fresco_tpu.diffusion.scheduler import DDPMScheduler
+from fresco_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from fresco_tpu.models.controlnet import ControlNet
+from fresco_tpu.models.gmflow import GMFlow, GMFlowConfig
+from fresco_tpu.models.unet import UNet2DCondition, UNetConfig
+from fresco_tpu.models.vae import AutoencoderKL, VAEConfig
+from fresco_tpu.ops.image import resize_image, uint8_to_unit_range, unit_range_to_uint8
+from fresco_tpu.ops.morphology import dilate
+from fresco_tpu.pipeline import prepare
+from fresco_tpu.pipeline.keyframes import select_keyframes
+from fresco_tpu.pipeline.text import encode_prompts, make_tokenizer
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    unet: UNet2DCondition
+    vae: AutoencoderKL
+    controlnet: ControlNet
+    text_encoder: CLIPTextEncoder
+    gmflow: GMFlow
+    scheduler: DDPMScheduler
+    params: dict
+    tokenizer: Any
+    detector: Callable[[np.ndarray], np.ndarray]
+    saliency_fn: Callable[[np.ndarray], jnp.ndarray] | None
+
+
+def _canny_detector(img: np.ndarray) -> np.ndarray:
+    """Canny edges (reference annotator/canny, thresholds run_fresco.py:106)."""
+    return cv2.Canny(img, 50, 100)
+
+
+def build_models(
+    config: FrescoConfig,
+    *,
+    tiny: bool = False,
+    seed: int = 0,
+    load_weights: bool = True,
+) -> ModelBundle:
+    """Construct the model stack; load converted checkpoints when present.
+
+    ``tiny=True`` builds reduced-width models (tests/smoke on CPU).
+    """
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    if tiny:
+        ucfg = UNetConfig.tiny()
+        vcfg = VAEConfig.tiny()
+        ccfg = CLIPTextConfig.tiny()
+        gcfg = GMFlowConfig.tiny()
+        cond_embed = (4, 4, 8, 8)  # 3 stride-2 convs: video res -> latent res
+    else:
+        ucfg = UNetConfig(use_freeu=config.use_freeu, freeu_b1=config.freeu_b1,
+                          freeu_b2=config.freeu_b2, freeu_s1=config.freeu_s1,
+                          freeu_s2=config.freeu_s2)
+        vcfg = VAEConfig()
+        ccfg = CLIPTextConfig()
+        gcfg = GMFlowConfig()
+        cond_embed = (16, 32, 96, 256)
+
+    unet = UNet2DCondition(ucfg, dtype=dtype)
+    vae = AutoencoderKL(vcfg, dtype=dtype)
+    controlnet = ControlNet(ucfg, dtype=dtype, cond_embed_channels=cond_embed)
+    text_encoder = CLIPTextEncoder(ccfg, dtype=jnp.float32)
+    gmflow = GMFlow(gcfg)
+    scheduler = DDPMScheduler(num_inference_steps=config.num_inference_steps)
+
+    rng = jax.random.key(seed)
+    ks = jax.random.split(rng, 5)
+    latent = jnp.zeros((1, 8, 8, 4))
+    img = jnp.zeros((1, 64, 64, 3))
+    ctx = jnp.zeros((1, 77, ccfg.hidden_size))
+    params = {
+        "unet": unet.init(ks[0], latent, jnp.int32(0), ctx),
+        "vae": vae.init(ks[1], img),
+        "controlnet": controlnet.init(ks[2], latent, jnp.int32(0), ctx, img),
+        "text": text_encoder.init(ks[3], jnp.zeros((1, 77), jnp.int32)),
+        "gmflow": gmflow.init(ks[4], img, img),
+    }
+
+    if load_weights and not tiny:
+        params = _maybe_load_pretrained(params, config, ucfg, vcfg, ccfg)
+
+    tokenizer = make_tokenizer(
+        config.sd_path if os.path.isdir(str(config.sd_path)) else None,
+        ccfg.vocab_size,
+    )
+
+    detector = _canny_detector  # hed/depth need converted weights; see models/
+    return ModelBundle(
+        unet, vae, controlnet, text_encoder, gmflow, scheduler,
+        params, tokenizer, detector, None,
+    )
+
+
+def _maybe_load_pretrained(params, config, ucfg, vcfg, ccfg):
+    """Convert local torch/diffusers checkpoints if the paths exist."""
+    from fresco_tpu.models import convert as C
+
+    def find(base, sub, names):
+        if not base or not os.path.isdir(str(base)):
+            return None
+        for n in names:
+            p = os.path.join(base, sub, n) if sub else os.path.join(base, n)
+            if os.path.exists(p):
+                return p
+        return None
+
+    sd_dir = str(config.sd_path)
+    specs = [
+        ("unet", find(sd_dir, "unet", ["diffusion_pytorch_model.safetensors",
+                                       "diffusion_pytorch_model.bin"]),
+         lambda sd: C.convert_unet(sd, ucfg)),
+        ("vae", find(config.vae_path or sd_dir, "" if config.vae_path else "vae",
+                     ["diffusion_pytorch_model.safetensors",
+                      "diffusion_pytorch_model.bin"]),
+         lambda sd: C.convert_vae(sd, vcfg)),
+        ("text", find(sd_dir, "text_encoder", ["model.safetensors",
+                                               "pytorch_model.bin"]),
+         lambda sd: C.convert_clip_text(sd, ccfg)),
+        ("controlnet", find(config.controlnet_path, "",
+                            ["diffusion_pytorch_model.safetensors",
+                             "diffusion_pytorch_model.bin"]),
+         lambda sd: C.convert_controlnet(sd, ucfg)),
+    ]
+    for name, path, fn in specs:
+        if path:
+            sd = C.load_torch_state_dict(path)
+            params[name] = {"params": fn(sd)}
+            print(f"[fresco_tpu] loaded {name} weights from {path}")
+    if config.gmflow_path and os.path.exists(config.gmflow_path):
+        from fresco_tpu.models.gmflow.convert import convert_gmflow
+
+        sd = C.load_torch_state_dict(config.gmflow_path)
+        params["gmflow"] = {"params": convert_gmflow(sd)}
+        print(f"[fresco_tpu] loaded gmflow weights from {config.gmflow_path}")
+    return params
+
+
+class FrescoPipeline:
+    """run_fresco-equivalent orchestration."""
+
+    def __init__(self, config: FrescoConfig, bundle: ModelBundle | None = None,
+                 *, tiny: bool = False):
+        self.config = config
+        self.bundle = bundle or build_models(config, tiny=tiny, seed=config.seed)
+        b = self.bundle
+        self.sampler = FrescoSampler(b.unet, b.vae, b.controlnet, b.scheduler)
+
+        gcfg = GuidanceConfig(
+            iters=config.opt_iters, lr=config.opt_lr,
+            intra_weight=config.intra_weight,
+            optimize_temporal=config.optimize_temporal,
+        )
+        self._base_sampler_cfg = SamplerConfig(
+            num_inference_steps=config.num_inference_steps,
+            num_warmup_steps=config.num_warmup_steps,
+            guidance_scale=config.guidance_scale,
+            use_controlnet=config.use_controlnet,
+            repeat_noise=config.repeat_noise,
+            num_intraattn_steps=config.num_intraattn_steps,
+            step_interattn_end=config.step_interattn_end,
+            bg_smoothing_steps=tuple(config.bg_smoothing_steps),
+            end_opt_step=config.end_opt_step,
+            guidance=gcfg,
+            do_opt=config.use_fresco_opt,
+        )
+
+        self._sample_jit = jax.jit(
+            self.sampler.sample, static_argnames=("cfg",)
+        )
+        self._interframe_jit = jax.jit(self._interframe)
+        self._intraframe_jit = jax.jit(self._intraframe)
+        self._decode_jit = jax.jit(self.sampler.decode)
+
+    # --- jittable param-prep wrappers -------------------------------------
+    def _interframe(self, params, frames_255):
+        flow_fn = lambda a, b: self.bundle.gmflow.apply(params["gmflow"], a, b)
+        return prepare.interframe_params(
+            flow_fn, frames_255, photo_thresh=self.config.photo_occ_thresh
+        )
+
+    def _intraframe(self, params, frames, prompt_embeds, rng):
+        return prepare.intraframe_params(
+            self.bundle.unet, self.bundle.vae, params, self.bundle.scheduler,
+            frames, prompt_embeds, rng,
+        )
+
+    # --- host-side orchestration -------------------------------------------
+    def read_frames(self):
+        cfg = self.config
+        cap = cv2.VideoCapture(cfg.file_path)
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        frames = []
+        for _ in range(n):
+            ok, f = cap.read()
+            if not ok:
+                break
+            frames.append(resize_image(cv2.cvtColor(f, cv2.COLOR_BGR2RGB),
+                                       cfg.resolution))
+        cap.release()
+        return frames
+
+    def translate_keyframes(self, verbose: bool = True) -> list[int]:
+        """Full keyframe translation (run_fresco.py:111-270)."""
+        cfg = self.config
+        b = self.bundle
+        os.makedirs(os.path.join(cfg.save_path, "keys"), exist_ok=True)
+        os.makedirs(os.path.join(cfg.save_path, "video"), exist_ok=True)
+
+        frames = self.read_frames()
+        keys = select_keyframes(
+            cfg.file_path, len(frames), cfg.mininterv, cfg.maxinterv
+        )
+        keys = [k for k in keys if k < len(frames)]
+        from PIL import Image
+
+        for i, f in enumerate(frames):
+            Image.fromarray(f).save(
+                os.path.join(cfg.save_path, "video", "%04d.png" % i)
+            )
+
+        sublists = keyframe_sublists(keys, cfg.batch_size)
+        if verbose:
+            print(f"[fresco_tpu] {len(sublists)} batches: {sublists}")
+
+        a_prompt, n_prompt = default_prompts(cfg.sd_path)
+        a_prompt = cfg.a_prompt if cfg.a_prompt is not None else a_prompt
+        n_prompt = cfg.n_prompt if cfg.n_prompt is not None else n_prompt
+
+        record = None
+        prev_imgs: list[np.ndarray] = []
+        prev_prompts: list[str] = []
+        rng = jax.random.key(cfg.seed)
+        for batch_ind, sub in enumerate(sublists):
+            t0 = time.time()
+            propagation = batch_ind > 0
+            imgs = ([*prev_imgs] if propagation else []) + [frames[i] for i in sub]
+            prompts = ([*prev_prompts] if propagation else []) + [
+                cfg.prompt + a_prompt for _ in sub
+            ]
+            latents = self._translate_batch(
+                imgs, prompts, [n_prompt] * len(imgs), record, propagation, rng
+            )
+            record = latents[1]
+            images = unit_range_to_uint8(self._decode_jit(b.params, latents[0]))
+            bias = 2 if propagation else 0
+            for ind, num in enumerate(sub):
+                Image.fromarray(images[ind + bias]).save(
+                    os.path.join(cfg.save_path, "keys", "%04d.png" % num)
+                )
+            prev_imgs = [imgs[0], imgs[-1]]
+            prev_prompts = [prompts[0], prompts[-1]]
+            if verbose:
+                print(
+                    f"[fresco_tpu] batch {batch_ind+1}/{len(sublists)}: "
+                    f"{len(sub)} keyframes in {time.time()-t0:.1f}s"
+                )
+        return keys
+
+    def _translate_batch(self, imgs, prompts, n_prompts, record, propagation, rng):
+        cfg = self.config
+        b = self.bundle
+        frames_255 = jnp.asarray(np.stack(imgs), jnp.float32)
+        frames_unit = uint8_to_unit_range(np.stack(imgs))
+
+        prompt_embeds = encode_prompts(
+            b.text_encoder, b.params["text"], b.tokenizer, prompts, n_prompts
+        )
+
+        # control signal (run_fresco.py:199-202)
+        edges_np = np.stack([b.detector(im) for im in imgs])
+        if edges_np.ndim == 3:
+            edges_np = edges_np[..., None]
+        edges = jnp.asarray(
+            np.repeat(edges_np, 3, axis=-1).astype(np.float32) / 255.0
+        )
+
+        fresco_state = FrescoState()
+        attn = None
+        if cfg.use_fresco_attn or cfg.use_fresco_opt or cfg.use_saliency:
+            flows, occs, cf_masks, trajectories = self._interframe_jit(
+                b.params, frames_255
+            )
+            saliency = None
+            if cfg.use_saliency and b.saliency_fn is not None:
+                saliency = b.saliency_fn(np.stack(imgs))
+            ref_feats, correlations = self._intraframe_jit(
+                b.params, frames_unit, prompt_embeds, rng
+            )
+            if cfg.use_fresco_attn:
+                attn = prepare.build_attn_params(
+                    cf_masks, ref_feats, trajectories,
+                    intra_scale=cfg.intraattn_scale_factor,
+                    inter_scale=cfg.interattn_scale_factor,
+                )
+            fresco_state = FrescoState(
+                attn=attn,
+                fwd_flow=flows[0], bwd_flow=flows[1],
+                fwd_occ=occs[0], bwd_occ=occs[1],
+                saliency=saliency,
+                correlations=correlations if cfg.use_fresco_opt else None,
+            )
+
+        sampler_cfg = dataclasses.replace(
+            self._base_sampler_cfg, propagation_mode=propagation
+        )
+        cond_scale = jnp.full((cfg.num_inference_steps,), cfg.cond_scale)
+        latents, record_out = self._sample_jit(
+            b.params, frames_unit, prompt_embeds, edges, cond_scale,
+            fresco_state, record, rng, sampler_cfg,
+        )
+        return latents, record_out

@@ -1,0 +1,76 @@
+"""Guide-channel construction for patch synthesis.
+
+Equivalent of reference src/ebsynth/blender/guide.py: four guides with
+weights [color 6, edge 0.5, temporal 0.5, positional 2]
+(video_blend.py:89).  Host-side (cv2) like the reference — inpainting
+and saturating uint8 filter arithmetic have no XLA analog worth building;
+the synthesis itself runs on TPU.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+GUIDE_WEIGHTS = dict(color=6.0, edge=0.5, temporal=0.5, positional=2.0)
+
+
+def edge_guide(img: np.ndarray) -> np.ndarray:
+    """4-neighbor Laplacian with cv2 saturating arithmetic (guide.py:72-76)."""
+    k = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]])
+    return cv2.filter2D(img, -1, k)
+
+
+def positional_first(h: int, w: int) -> np.ndarray:
+    """Coordinate image: channels (0, x-ramp, y-ramp) (guide.py:52-60,
+    BGR in the reference; channel order only needs to be consistent)."""
+    ys = np.linspace(0, 1, h)
+    xs = np.linspace(0, 1, w)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    r = (yy * 255).astype(np.uint8)
+    g = (xx * 255).astype(np.uint8)
+    b = np.zeros_like(r)
+    return np.stack([b, g, r], axis=2)
+
+
+def warp_nearest(img: np.ndarray, bwd_flow: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor backward warp with cv2.remap (host equivalent of
+    flow/flow_utils.py:228-242)."""
+    h, w = img.shape[:2]
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    mapx = xs + bwd_flow[..., 0]
+    mapy = ys + bwd_flow[..., 1]
+    return cv2.remap(img, mapx, mapy, cv2.INTER_NEAREST,
+                     borderMode=cv2.BORDER_CONSTANT)
+
+
+def inpaint_occluded(img: np.ndarray, occ_mask: np.ndarray) -> np.ndarray:
+    """TELEA-inpaint occluded regions (guide.py:40,99-101)."""
+    mask = (occ_mask > 0).astype(np.uint8) * 255
+    return cv2.inpaint(img, mask, 30, cv2.INPAINT_TELEA)
+
+
+def positional_chain(
+    h: int, w: int, bwd_flows: list[np.ndarray], occs: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Coordinate image warped along the flow chain with inpainting
+    (guide.py:26-49).  Returns interval+1 guides."""
+    imgs = [positional_first(h, w)]
+    for flow, occ in zip(bwd_flows, occs):
+        cur = warp_nearest(imgs[-1], flow).astype(np.uint8)
+        cur = inpaint_occluded(cur, occ)
+        imgs.append(cur)
+    return imgs
+
+
+def temporal_guide(
+    prev_stylized: np.ndarray, bwd_flow: np.ndarray, occ: np.ndarray
+) -> np.ndarray:
+    """Previous stylized frame warped forward + inpainted (guide.py:79-104)."""
+    warped = warp_nearest(prev_stylized, bwd_flow).astype(np.uint8)
+    return inpaint_occluded(warped, occ)

@@ -1,0 +1,278 @@
+"""Guided patch-based synthesis (ebsynth/StyLit equivalent) on TPU.
+
+The reference's one true native subsystem: a C++/CUDA coarse-to-fine
+PatchMatch search-vote synthesizer (reference
+src/ebsynth/deps/ebsynth/src/ebsynth_cpu.cpp:664-993, ebsynth_cuda.cu)
+driven per frame-pair through a subprocess (video_blend.py:96-106).
+
+TPU re-design (SURVEY.md §2.5): the serpentine CPU propagation is
+inherently sequential, so propagation becomes **jump-flooding**: each
+iteration evaluates, for every pixel *in parallel*, a static candidate
+set — the current match, neighbor matches at power-of-two offsets
+(shift-adjusted), and exponentially-decaying random search samples —
+and keeps the argmin.  A few such data-parallel sweeps converge like
+serpentine passes but vectorize perfectly over the VPU.  The vote step
+is a static 25-offset gather-mean.  The uniformity (omega) term is a
+scatter-add usage histogram, recomputed per search-vote iteration
+(ebsynth_cpu.cpp:470-528).
+
+Weight semantics match the CLI (ebsynth.cpp:642-670): style channels
+sum to ``style_weight`` total; each guide's weight is divided by its
+channel count.  Pyramid depth: coarsest level ≥ 2·patch+1
+(ebsynth.cpp:676-696).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from fresco_tpu.ops.resize import resize_bilinear
+
+
+@dataclasses.dataclass(frozen=True)
+class PatchMatchConfig:
+    patch_size: int = 5           # ebsynth.cpp default
+    uniformity: float = 3500.0    # ebsynth.cpp default
+    pm_iters: int = 6             # video_blend.py:101 -patchmatchiters
+    sv_iters: int = 12            # video_blend.py:101 -searchvoteiters
+    style_weight: float = 1.0
+    num_pyramid_levels: int = -1  # -1 => auto
+    rand_candidates: int = 4
+    extra_pass_3x3: bool = False
+
+
+def _pyramid_sizes(h: int, w: int, t_h: int, t_w: int, patch: int, max_levels: int):
+    """Coarse-to-fine level sizes; coarsest min-dim ≥ 2·patch+1."""
+    sizes = []
+    level = 0
+    while True:
+        f = 2 ** level
+        sh, sw = max(h // f, 1), max(w // f, 1)
+        th, tw = max(t_h // f, 1), max(t_w // f, 1)
+        if min(sh, sw, th, tw) < 2 * patch + 1 and level > 0:
+            break
+        sizes.append(((sh, sw), (th, tw)))
+        if min(sh, sw, th, tw) == 1:
+            break
+        level += 1
+        if 0 < max_levels <= len(sizes):
+            break
+    return sizes[::-1]  # coarse -> fine
+
+
+def _offsets(patch: int):
+    r = patch // 2
+    return [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+
+
+def _gather2d(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """img [H,W,C]; ys/xs int [...]; clamped gather -> [..., C]."""
+    h, w = img.shape[:2]
+    ys = jnp.clip(ys, 0, h - 1)
+    xs = jnp.clip(xs, 0, w - 1)
+    flat = img.reshape(h * w, -1)
+    return flat[ys * w + xs]
+
+
+def _patch_error(
+    nnf_y, nnf_x, src, tgt_patches, weights, patch: int
+):
+    """SSD between the source patch at (nnf_y, nnf_x) and the target patch
+    at every pixel.  tgt_patches: [Ht, Wt, n_off, C] precomputed target
+    neighborhoods; weights: [C].  Returns [Ht, Wt]."""
+    offs = _offsets(patch)
+    err = jnp.zeros(nnf_y.shape, jnp.float32)
+    for i, (dy, dx) in enumerate(offs):
+        s = _gather2d(src, nnf_y + dy, nnf_x + dx)  # [Ht, Wt, C]
+        d = (s - tgt_patches[:, :, i, :]).astype(jnp.float32)
+        err = err + jnp.einsum("hwc,c->hw", d * d, weights)
+    return err
+
+
+def _target_patches(tgt: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """[H,W,C] -> [H,W,n_off,C] clamped neighborhoods (static offsets)."""
+    h, w, _ = tgt.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    outs = []
+    for dy, dx in _offsets(patch):
+        outs.append(_gather2d(tgt, ys + dy, xs + dx))
+    return jnp.stack(outs, axis=2)
+
+
+def _omega(nnf_y, nnf_x, sh, sw, patch):
+    """Source usage histogram over patch footprints (scatter-add)."""
+    counts = jnp.zeros((sh * sw,), jnp.float32)
+    idx = (jnp.clip(nnf_y, 0, sh - 1) * sw + jnp.clip(nnf_x, 0, sw - 1)).reshape(-1)
+    counts = counts.at[idx].add(1.0)
+    # spread to patch footprint via box filter (separable)
+    c2 = counts.reshape(1, sh, sw, 1)
+    pad = patch // 2
+    c2 = jnp.pad(c2, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    c2 = jax.lax.reduce_window(
+        c2, 0.0, jax.lax.add, (1, patch, 1, 1), (1, 1, 1, 1), "VALID"
+    )
+    c2 = jax.lax.reduce_window(
+        c2, 0.0, jax.lax.add, (1, 1, patch, 1), (1, 1, 1, 1), "VALID"
+    )
+    return c2[0, :, :, 0]  # [sh, sw]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("patch", "pm_iters", "sv_iters", "uniformity", "rand_candidates"),
+)
+def _synthesize_level(
+    src_all,        # [sh, sw, C] style+guides (source)
+    tgt_guides,     # [th, tw, Cg] target guides
+    style_src,      # [sh, sw, Cs]
+    weights_g,      # [Cg]
+    weights_s,      # [Cs]
+    nnf,            # [th, tw, 2] int32 (y, x) init
+    rng,
+    *,
+    patch: int,
+    pm_iters: int,
+    sv_iters: int,
+    uniformity: float,
+    rand_candidates: int,
+):
+    sh, sw = src_all.shape[:2]
+    th, tw = tgt_guides.shape[:2]
+    r = patch // 2
+    cs = style_src.shape[-1]
+
+    tgt_g_patches = _target_patches(tgt_guides, patch)
+    ys = jnp.arange(th)[:, None] * jnp.ones((1, tw), jnp.int32)
+    xs = jnp.arange(tw)[None, :] * jnp.ones((th, 1), jnp.int32)
+
+    omega_best = (th * tw) / (sh * sw) * (patch * patch)
+
+    def eval_cand(ny, nx, tgt_s_patches, omega_map):
+        ny = jnp.clip(ny, r, sh - 1 - r)
+        nx = jnp.clip(nx, r, sw - 1 - r)
+        e = _patch_error(ny, nx, src_all[..., cs:], tgt_g_patches, weights_g, patch)
+        e = e + _patch_error(ny, nx, src_all[..., :cs], tgt_s_patches, weights_s, patch)
+        if uniformity > 0:
+            usage = _gather2d(omega_map[..., None], ny, nx)[..., 0]
+            e = e + uniformity * usage / omega_best
+        return ny, nx, e
+
+    def vote(nnf_):
+        out = jnp.zeros((th, tw, cs), jnp.float32)
+        for i, (dy, dx) in enumerate(_offsets(patch)):
+            n = _gather2d(nnf_.astype(jnp.float32), ys + dy, xs + dx).astype(jnp.int32)
+            out = out + _gather2d(style_src, n[..., 0] - dy, n[..., 1] - dx)
+        return out / (patch * patch)
+
+    shifts = [1, 2, 4, 8]
+
+    def sv_iter(carry, it):
+        nnf_, rng_ = carry
+        tgt_style = vote(nnf_)
+        tgt_s_patches = _target_patches(tgt_style, patch)
+        omega_map = _omega(nnf_[..., 0], nnf_[..., 1], sh, sw, patch)
+
+        def pm_iter(carry2, it2):
+            nnf2, rng2 = carry2
+            by, bx, be = eval_cand(nnf2[..., 0], nnf2[..., 1], tgt_s_patches, omega_map)
+
+            def consider(by, bx, be, cy, cx):
+                ny, nx, e = eval_cand(cy, cx, tgt_s_patches, omega_map)
+                better = e < be
+                return (
+                    jnp.where(better, ny, by),
+                    jnp.where(better, nx, bx),
+                    jnp.where(better, e, be),
+                )
+
+            # jump-flood propagation: neighbor matches, shift-adjusted
+            for d in shifts:
+                for dy, dx in ((d, 0), (-d, 0), (0, d), (0, -d)):
+                    n = _gather2d(
+                        nnf2.astype(jnp.float32), ys + dy, xs + dx
+                    ).astype(jnp.int32)
+                    by, bx, be = consider(by, bx, be, n[..., 0] - dy, n[..., 1] - dx)
+
+            # random search with exponentially decaying radius
+            max_rad = max(sh, sw)
+            n_scales = rand_candidates
+            rngs = jax.random.split(jax.random.fold_in(rng2, it2), n_scales)
+            for j in range(n_scales):
+                rad = max(max_rad >> (j + 1), 1)
+                delta = jax.random.randint(rngs[j], (th, tw, 2), -rad, rad + 1)
+                by, bx, be = consider(
+                    by, bx, be, by + delta[..., 0], bx + delta[..., 1]
+                )
+            return (jnp.stack([by, bx], axis=-1), rng2), be
+
+        (nnf_, rng_), errs = jax.lax.scan(
+            pm_iter, (nnf_, jax.random.fold_in(rng_, it)), jnp.arange(pm_iters)
+        )
+        return (nnf_, rng_), errs[-1]
+
+    (nnf, rng), errs = jax.lax.scan(sv_iter, (nnf, rng), jnp.arange(sv_iters))
+    out = vote(nnf)
+    return nnf, out, errs[-1]
+
+
+def synthesize(
+    style: jnp.ndarray,
+    source_guides: jnp.ndarray,
+    target_guides: jnp.ndarray,
+    guide_channel_weights: jnp.ndarray,
+    cfg: PatchMatchConfig = PatchMatchConfig(),
+    rng: jax.Array | None = None,
+):
+    """Synthesize the target-frame style by guided patch matching.
+
+    style: [Hs,Ws,Cs] (the stylized keyframe, float 0..255);
+    source_guides/target_guides: [H,W,Cg] aligned channel stacks;
+    guide_channel_weights: [Cg] per-channel weights (already divided by
+    the guide's channel count — ebsynth.cpp:669).
+
+    Returns (output [Ht,Wt,Cs], error [Ht,Wt], nnf [Ht,Wt,2]).
+    """
+    if rng is None:
+        rng = jax.random.key(0)
+    sh, sw = style.shape[:2]
+    th, tw = target_guides.shape[:2]
+    cs = style.shape[-1]
+    weights_s = jnp.full((cs,), cfg.style_weight / cs, jnp.float32)
+
+    sizes = _pyramid_sizes(sh, sw, th, tw, cfg.patch_size, cfg.num_pyramid_levels)
+    nnf = None
+    for li, ((lsh, lsw), (lth, ltw)) in enumerate(sizes):
+        s_style = resize_bilinear(style[None], (lsh, lsw))[0]
+        s_guides = resize_bilinear(source_guides[None], (lsh, lsw))[0]
+        t_guides = resize_bilinear(target_guides[None], (lth, ltw))[0]
+        src_all = jnp.concatenate([s_style, s_guides], axis=-1)
+
+        rng, k_init, k_run = jax.random.split(rng, 3)
+        if nnf is None:
+            r = cfg.patch_size // 2
+            nnf = jnp.stack(
+                [
+                    jax.random.randint(k_init, (lth, ltw), r, lsh - r),
+                    jax.random.randint(jax.random.fold_in(k_init, 1), (lth, ltw), r, lsw - r),
+                ],
+                axis=-1,
+            )
+        else:
+            up = resize_bilinear(nnf.astype(jnp.float32)[None], (lth, ltw))[0]
+            nnf = (up * 2.0).astype(jnp.int32)
+
+        nnf, out, err = _synthesize_level(
+            src_all, t_guides, s_style, guide_channel_weights, weights_s,
+            nnf, k_run,
+            patch=cfg.patch_size,
+            pm_iters=cfg.pm_iters,
+            sv_iters=cfg.sv_iters,
+            uniformity=cfg.uniformity,
+            rand_candidates=cfg.rand_candidates,
+        )
+    return out, err, nnf

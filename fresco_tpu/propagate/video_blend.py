@@ -1,0 +1,261 @@
+"""Full-video propagation: keyframe style -> all frames, then blend.
+
+Equivalent of reference video_blend.py: for every keyframe interval,
+propagate the stylized keyframe to in-between frames from both ends
+(guided patch synthesis), then per frame pick/blend the two candidates
+(error mask -> histogram blend -> optional Poisson fusion) and write the
+output video.
+
+TPU re-design: the per-frame ebsynth *subprocess* (video_blend.py:96-106)
+becomes an in-process device call (fresco_tpu.propagate.patchmatch);
+optical flow is our GMFlow (jitted, one call per pair); the numba
+per-pixel loops (video_blend.py:40-58,142-155) are jnp.where; Poisson
+fusion runs as matrix-free CG on device instead of scipy lsqr.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fresco_tpu.ops.warp import forward_backward_consistency
+from fresco_tpu.propagate.guides import (
+    GUIDE_WEIGHTS,
+    edge_guide,
+    inpaint_occluded,
+    positional_chain,
+    warp_nearest,
+)
+from fresco_tpu.propagate.histogram import histogram_blend
+from fresco_tpu.propagate.patchmatch import PatchMatchConfig, synthesize
+from fresco_tpu.propagate.poisson import poisson_fusion
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def error_mask(dist1, dist2, weight1: float, weight2: float) -> np.ndarray:
+    """Candidate selection mask (video_blend.py:40-58): 0 selects the
+    forward candidate, 1 the backward one."""
+    out = (weight1 * dist1 >= weight2 * dist2).astype(np.uint8)
+    if weight1 == 0:
+        out[:] = 0
+    elif weight2 == 0:
+        out[:] = 1
+    return out
+
+
+@dataclasses.dataclass
+class _FlowCache:
+    flow_fn: object  # jitted GMFlow apply on [1,H,W,3] pairs
+    cache: dict
+
+    def get(self, frames: list[np.ndarray], i: int):
+        """bwd flow + occlusion for pair (frame i -> i+1)."""
+        if i not in self.cache:
+            a = jnp.asarray(frames[i], jnp.float32)[None]
+            b = jnp.asarray(frames[i + 1], jnp.float32)[None]
+            flow = self.flow_fn(a, b)  # [2,H,W,2] fwd,bwd
+            fwd, bwd = flow[0:1], flow[1:2]
+            _, bwd_occ = forward_backward_consistency(fwd, bwd)
+            self.cache[i] = (np.asarray(bwd[0]), np.asarray(bwd_occ[0]))
+        return self.cache[i]
+
+
+def _synthesize_chain(
+    key_img: np.ndarray,
+    frames: list[np.ndarray],
+    flows: list[tuple[np.ndarray, np.ndarray]],
+    cfg: PatchMatchConfig,
+    rng,
+):
+    """Propagate ``key_img`` (stylized frames[0]) along the chain.
+
+    frames: interval+1 input frames (position 0 is the keyframe's input);
+    flows[j] = (bwd_flow, bwd_occ) for pair (j -> j+1).
+    Returns (outputs, errors) for positions 1..interval.
+    """
+    h, w = frames[0].shape[:2]
+    pos_guides = positional_chain(h, w, [f for f, _ in flows], [o for _, o in flows])
+    edge_src = edge_guide(frames[0])
+
+    src_guides = np.concatenate(
+        [frames[0], edge_src, key_img, pos_guides[0]], axis=-1
+    ).astype(np.float32)
+    wpc = [
+        np.full(3, GUIDE_WEIGHTS["color"] / 3),
+        np.full(3, GUIDE_WEIGHTS["edge"] / 3),
+        np.full(3, GUIDE_WEIGHTS["temporal"] / 3),
+        np.full(3, GUIDE_WEIGHTS["positional"] / 3),
+    ]
+    weights = jnp.asarray(np.concatenate(wpc), jnp.float32)
+
+    outputs, errors = [], []
+    prev_stylized = key_img
+    for j in range(1, len(frames)):
+        bwd_flow, bwd_occ = flows[j - 1]
+        temporal = inpaint_occluded(
+            warp_nearest(prev_stylized, bwd_flow).astype(np.uint8), bwd_occ
+        )
+        tgt_guides = np.concatenate(
+            [frames[j], edge_guide(frames[j]), temporal, pos_guides[j]], axis=-1
+        ).astype(np.float32)
+        out, err, _ = synthesize(
+            jnp.asarray(key_img, jnp.float32),
+            jnp.asarray(src_guides),
+            jnp.asarray(tgt_guides),
+            weights,
+            cfg,
+            rng=jax.random.fold_in(rng, j),
+        )
+        out_np = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+        outputs.append(out_np)
+        errors.append(np.asarray(err))
+        prev_stylized = out_np
+    return outputs, errors
+
+
+def blend_video(
+    base_dir: str,
+    key_ind: list[int],
+    key_dir: str = "keys",
+    output: str | None = None,
+    fps: float = 30,
+    n_proc: int = 8,  # accepted for CLI parity; device batching instead
+    poisson: bool = True,
+    use_histogram: bool = True,
+    flow_fn=None,
+    patch_cfg: PatchMatchConfig = PatchMatchConfig(),
+    seed: int = 0,
+):
+    """Reference video_blend.py main flow.  Reads base_dir/video/%04d.png
+    and base_dir/<key_dir>/%04d.png, writes base_dir/blend/%04d.png and
+    optionally an mp4."""
+    video_dir = os.path.join(base_dir, "video")
+    blend_dir = os.path.join(base_dir, "blend")
+    os.makedirs(blend_dir, exist_ok=True)
+
+    read = lambda p: cv2.imread(p)  # BGR, matching reference cv2 use
+    frames = {
+        i: read(os.path.join(video_dir, "%04d.png" % i))
+        for i in range(key_ind[0], key_ind[-1] + 1)
+    }
+    keys = {i: read(os.path.join(base_dir, key_dir, "%04d.png" % i)) for i in key_ind}
+
+    if flow_fn is None:
+        from fresco_tpu.models.gmflow import GMFlow, GMFlowConfig
+
+        model = GMFlow(GMFlowConfig())
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
+        )
+        flow_fn = jax.jit(lambda a, b: model.apply(params, a, b))
+
+    fcache = _FlowCache(flow_fn, {})
+    rng = jax.random.key(seed)
+
+    t0 = time.time()
+    for seq_i in range(len(key_ind) - 1):
+        beg, end = key_ind[seq_i], key_ind[seq_i + 1]
+        interval = end - beg
+        seq_frames = [frames[i] for i in range(beg, end + 1)]
+
+        fwd_flows = [fcache.get(seq_frames, j) for j in range(interval)]
+        fwd_out, fwd_err = _synthesize_chain(
+            keys[beg], seq_frames, fwd_flows, patch_cfg,
+            jax.random.fold_in(rng, 2 * seq_i),
+        )
+
+        rev_frames = seq_frames[::-1]
+        bwd_flows = []
+        for j in range(interval):
+            a = jnp.asarray(rev_frames[j], jnp.float32)[None]
+            b = jnp.asarray(rev_frames[j + 1], jnp.float32)[None]
+            flow = flow_fn(a, b)
+            _, occ = forward_backward_consistency(flow[0:1], flow[1:2])
+            bwd_flows.append((np.asarray(flow[1]), np.asarray(occ[0])))
+        bwd_out, bwd_err = _synthesize_chain(
+            keys[end], rev_frames, bwd_flows, patch_cfg,
+            jax.random.fold_in(rng, 2 * seq_i + 1),
+        )
+        bwd_out, bwd_err = bwd_out[::-1], bwd_err[::-1]
+
+        # --- per-frame blending (video_blend.py:212-255) -----------------
+        cv2.imwrite(os.path.join(blend_dir, "%04d.png" % beg), keys[beg])
+        p_mask = None
+        for i in range(interval - 1):
+            c_id = beg + i + 1
+            oa, ob = fwd_out[i], bwd_out[i]
+            dist1, dist2 = fwd_err[i], bwd_err[i]
+            weight1 = i / (interval - 1) if interval > 1 else 0.5
+            weight2 = 1 - weight1
+            mask = error_mask(dist1, dist2, weight1, weight2)
+            if p_mask is not None:
+                bwd_flow, _ = fwd_flows[i]
+                p_mask = warp_nearest(p_mask, bwd_flow)
+                mask = p_mask | mask
+            p_mask = mask
+
+            min_error_img = np.where(mask[:, :, None] == 0, oa, ob)
+            if use_histogram:
+                hb = histogram_blend(oa, ob, min_error_img, weight2, weight1)
+            else:
+                hb = (weight2 * oa.astype(np.float32)
+                      + weight1 * ob.astype(np.float32)).astype(np.uint8)
+            res = poisson_fusion(hb, oa, ob, mask) if poisson else hb
+            cv2.imwrite(os.path.join(blend_dir, "%04d.png" % c_id), res)
+    cv2.imwrite(
+        os.path.join(blend_dir, "%04d.png" % key_ind[-1]), keys[key_ind[-1]]
+    )
+    print(f"[fresco_tpu] propagation+blend: {time.time()-t0:.1f}s")
+
+    if output:
+        frames_to_video(blend_dir, output, fps)
+    return blend_dir
+
+
+def frames_to_video(frame_dir: str, output: str, fps: float):
+    """Equivalent of reference src/ebsynth/src/video_util.py:35-56."""
+    files = sorted(
+        f for f in os.listdir(frame_dir) if f.endswith((".png", ".jpg"))
+    )
+    if not files:
+        return
+    first = cv2.imread(os.path.join(frame_dir, files[0]))
+    h, w = first.shape[:2]
+    vw = cv2.VideoWriter(
+        output, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    for f in files:
+        vw.write(cv2.imread(os.path.join(frame_dir, f)))
+    vw.release()
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="fresco_tpu video blending")
+    p.add_argument("name", type=str)
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--fps", type=float, default=30)
+    p.add_argument("--key_ind", type=int, nargs="+", required=True)
+    p.add_argument("--key", type=str, default="keys")
+    p.add_argument("--n_proc", type=int, default=8)
+    p.add_argument("-ps", action="store_true")
+    p.add_argument("-ne", action="store_true")  # parity no-op (no cache yet)
+    p.add_argument("-tmp", action="store_true")
+    a = p.parse_args(argv)
+    blend_video(
+        a.name, a.key_ind, a.key, a.output, a.fps, a.n_proc, poisson=a.ps
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""First-class tracing/profiling.
+
+The reference has only ad-hoc wall-clock prints (SURVEY.md §5:
+video_blend.py:116,137-139, commented-out GPU memory probes).  Here:
+``trace`` wraps a block in a jax.profiler trace (viewable in
+TensorBoard/XProf), and ``phase_timer`` collects per-phase wall times
+with device synchronization so the numbers mean something under async
+dispatch.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import jax
+
+
+class PhaseTimes:
+    def __init__(self):
+        self.times: dict[str, float] = defaultdict(float)
+        self.counts: dict[str, int] = defaultdict(int)
+
+    def report(self) -> str:
+        lines = [
+            f"  {k:<28s} {v:8.3f}s  x{self.counts[k]}"
+            for k, v in sorted(self.times.items(), key=lambda kv: -kv[1])
+        ]
+        return "phase times:\n" + "\n".join(lines)
+
+
+@contextlib.contextmanager
+def phase_timer(phases: PhaseTimes, name: str, sync: bool = True):
+    """Time a phase; block on device completion so async dispatch does not
+    attribute work to the wrong phase."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if sync:
+            try:
+                jax.block_until_ready(jax.device_put(0))
+            except Exception:
+                pass
+        phases.times[name] += time.perf_counter() - t0
+        phases.counts[name] += 1
+
+
+@contextlib.contextmanager
+def trace(log_dir: str | None):
+    """jax.profiler trace context; no-op when log_dir is None."""
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -16,10 +16,10 @@ from fresco_tpu.models.vae import AutoencoderKL, VAEConfig
 def test_vae_roundtrip_shapes(rng):
     cfg = VAEConfig.tiny()
     vae = AutoencoderKL(cfg, dtype=jnp.float32)
-    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
     params = vae.init(jax.random.key(0), x)
     z = vae.apply(params, x, method=vae.encode, sample=False)
-    assert z.shape == (2, 8, 8, cfg.latent_channels)  # one downsample
+    assert z.shape == (2, 4, 4, cfg.latent_channels)  # /8 like SD
     img = vae.apply(params, z, method=vae.decode)
     assert img.shape == x.shape
 

@@ -1,0 +1,109 @@
+"""Propagation engine tests: patch synthesis properties, error masks,
+histogram blend and Poisson fusion math."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fresco_tpu.propagate.patchmatch import PatchMatchConfig, synthesize
+from fresco_tpu.propagate.video_blend import error_mask
+
+
+def _checker(h, w, sq=8):
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base = ((yy // sq + xx // sq) % 2) * 200.0 + 30
+    return np.stack([base, 255 - base, (yy * 255 / h)], axis=-1).astype(np.float32)
+
+
+def test_patchmatch_identity_reconstruction(rng):
+    """With target guides == source guides, synthesis must reproduce the
+    style (the NNF can lock onto the identity match with zero error)."""
+    h = w = 48
+    guides = _checker(h, w)
+    noise = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    guides = 0.8 * guides + 0.2 * noise  # make matches unambiguous
+    style = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+
+    cfg = PatchMatchConfig(
+        patch_size=5, pm_iters=4, sv_iters=4, uniformity=0.0, num_pyramid_levels=2
+    )
+    out, err, nnf = synthesize(
+        jnp.asarray(style), jnp.asarray(guides), jnp.asarray(guides),
+        jnp.full((3,), 2.0), cfg, rng=jax.random.key(1),
+    )
+    out = np.asarray(out)
+    # interior must match the style almost exactly (borders vote-averaged)
+    m = 6
+    diff = np.abs(out[m:-m, m:-m] - style[m:-m, m:-m]).mean()
+    assert diff < 10.0, f"mean abs diff {diff}"
+    # identity NNF in the interior
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    nnf = np.asarray(nnf)
+    frac_id = np.mean(
+        (nnf[m:-m, m:-m, 0] == ys[m:-m, m:-m]) & (nnf[m:-m, m:-m, 1] == xs[m:-m, m:-m])
+    )
+    assert frac_id > 0.8, f"identity fraction {frac_id}"
+
+
+def test_patchmatch_shifted_reconstruction(rng):
+    """Target = source shifted: output should be style shifted likewise."""
+    h = w = 48
+    shift = 6
+    src_g = 0.7 * _checker(h, w) + 0.3 * rng.uniform(0, 255, (h, w, 3)).astype(
+        np.float32
+    )
+    tgt_g = np.roll(src_g, (-shift, 0), axis=(0, 1))
+    style = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    cfg = PatchMatchConfig(
+        patch_size=5, pm_iters=5, sv_iters=4, uniformity=0.0, num_pyramid_levels=2
+    )
+    out, _, _ = synthesize(
+        jnp.asarray(style), jnp.asarray(src_g), jnp.asarray(tgt_g),
+        jnp.full((3,), 2.0), cfg, rng=jax.random.key(2),
+    )
+    out = np.asarray(out)
+    expected = np.roll(style, (-shift, 0), axis=(0, 1))
+    m = 10
+    diff = np.abs(out[m:-m, m:-m] - expected[m:-m, m:-m]).mean()
+    assert diff < 25.0, f"mean abs diff {diff}"
+
+
+def test_error_mask_semantics():
+    d1 = np.array([[1.0, 5.0], [2.0, 2.0]])
+    d2 = np.array([[2.0, 1.0], [2.0, 3.0]])
+    m = error_mask(d1, d2, 1.0, 1.0)
+    np.testing.assert_array_equal(m, [[0, 1], [1, 0]])
+    assert error_mask(d1, d2, 0.0, 1.0).max() == 0  # weight1==0 -> all fwd
+    assert error_mask(d1, d2, 1.0, 0.0).min() == 1  # weight2==0 -> all bwd
+
+
+def test_histogram_blend_stats():
+    cv2 = pytest.importorskip("cv2")
+    from fresco_tpu.propagate.histogram import histogram_blend
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(40, 200, (32, 32, 3)).astype(np.uint8)
+    b = rng.integers(40, 200, (32, 32, 3)).astype(np.uint8)
+    me = rng.integers(40, 200, (32, 32, 3)).astype(np.uint8)
+    out = histogram_blend(a, b, me, 0.5, 0.5)
+    assert out.shape == a.shape and out.dtype == np.uint8
+    # output statistics must approximately match the min-error image's
+    lab = lambda x: cv2.cvtColor(x, cv2.COLOR_BGR2Lab).astype(np.float32)
+    np.testing.assert_allclose(
+        lab(out).mean((0, 1)), lab(me).mean((0, 1)), atol=6.0
+    )
+
+
+def test_poisson_fusion_identity():
+    """With both candidates equal to the blend image, the screened solve
+    must return (approximately) the input."""
+    pytest.importorskip("cv2")
+    from fresco_tpu.propagate.poisson import poisson_fusion
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(60, 190, (32, 32, 3)).astype(np.uint8)
+    mask = np.zeros((32, 32), np.uint8)
+    out = poisson_fusion(img, img, img, mask, iters=60)
+    diff = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert diff < 3.0, diff
