@@ -105,6 +105,32 @@ def _flash_padded(q, k, v, key_mask, *, scale, block_q, block_k, interpret):
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_core(q, k, v, mask_f, scale, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, mask_f > 0.5, scale, block_q, block_k, interpret)
+
+
+def _flash_core_fwd(q, k, v, mask_f, scale, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, mask_f > 0.5, scale, block_q, block_k, interpret)
+    return out, (q, k, v, mask_f)
+
+
+def _flash_core_bwd(scale, block_q, block_k, interpret, res, g):
+    # Backward via the reference attention math (standard softmax VJP).
+    # Memory O(Sq·Sk) — fine for training-sized sequences; the serving
+    # path never differentiates through attention.
+    q, k, v, mask_f = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: naive_attention(q_, k_, v_, mask_f > 0.5, scale=scale),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, jnp.zeros_like(mask_f)
+
+
+_flash_attention_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -121,7 +147,31 @@ def flash_attention(
     ``key_mask`` [B, Sk] marks attendable keys (shared by all queries, the
     shape of FRESCO's cross-frame validity masks).  Runs as a Pallas TPU
     kernel; on CPU (tests) it runs in interpreter mode automatically.
+    Differentiable via a custom VJP (math backward).
     """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if key_mask is None:
+        key_mask = jnp.ones((b, sk), dtype=bool)
+    return _flash_attention_core(
+        q, k, v, key_mask.astype(jnp.float32), scale, block_q, block_k, interpret
+    )
+
+
+def _flash_forward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray,
+    scale: float,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jnp.ndarray:
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if scale is None:

@@ -38,6 +38,11 @@ class GuidanceConfig:
     intra_weight: float = 1e2
     optimize_temporal: bool = True
     chunk: int = 2
+    # dtype of the gram-matrix matmuls (the FLOPs hot spot: [B, hw, hw]
+    # per decoder stage per Adam iter).  bf16 inputs + fp32 accumulation
+    # runs ~4-8x faster on the MXU than full fp32 with negligible effect
+    # on the optimized feature; set "float32" for strict parity.
+    gram_dtype: str = "bfloat16"
 
 
 def temporal_loss(
@@ -70,14 +75,19 @@ def temporal_loss(
     return jnp.mean(l) * 2.0
 
 
-def spatial_loss(cs: jnp.ndarray, correlation: jnp.ndarray) -> jnp.ndarray:
+def spatial_loss(
+    cs: jnp.ndarray, correlation: jnp.ndarray, gram_dtype=jnp.bfloat16
+) -> jnp.ndarray:
     """L1 between normalized-feature gram and the reference gram
     (diffusion_hacked.py:469-476).  correlation: [B, hw, hw] fp32."""
     b, h, w, c = cs.shape
     v = cs.reshape(b, h * w, c)
     v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
     gram = jnp.einsum(
-        "bic,bjc->bij", v, v, preferred_element_type=jnp.float32
+        "bic,bjc->bij",
+        v.astype(gram_dtype),
+        v.astype(gram_dtype),
+        preferred_element_type=jnp.float32,
     )
     return jnp.mean(jnp.abs(gram - correlation))
 
@@ -114,6 +124,8 @@ def optimize_feature(
 
     x0 = sample.astype(jnp.float32)
 
+    gram_dtype = jnp.bfloat16 if cfg.gram_dtype == "bfloat16" else jnp.float32
+
     def loss_fn(cs):
         loss = 0.0
         if do_temporal:
@@ -121,7 +133,9 @@ def optimize_feature(
                 cs, fwd_flow_s, bwd_flow_s, fwd_occ_s, bwd_occ_s, cfg.chunk
             )
         if do_spatial:
-            loss = loss + cfg.intra_weight * spatial_loss(cs, correlation)
+            loss = loss + cfg.intra_weight * spatial_loss(
+                cs, correlation, gram_dtype
+            )
         return loss
 
     tx = optax.adam(cfg.lr)  # torch Adam defaults: b1=.9, b2=.999, eps=1e-8

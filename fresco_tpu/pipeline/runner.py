@@ -120,11 +120,60 @@ def build_models(
         ccfg.vocab_size,
     )
 
-    detector = _canny_detector  # hed/depth need converted weights; see models/
+    detector = _build_detector(config, tiny=tiny)
+    saliency_fn = _build_saliency(config) if config.use_saliency else None
     return ModelBundle(
         unet, vae, controlnet, text_encoder, gmflow, scheduler,
-        params, tokenizer, detector, None,
+        params, tokenizer, detector, saliency_fn,
     )
+
+
+def _build_detector(config: FrescoConfig, tiny: bool):
+    """Control-signal detector by type, with weight-availability fallback
+    (reference falls back to hed, run_fresco.py:60-62; here canny is the
+    only weight-free option)."""
+    ctype = config.controlnet_type
+    ckpt_dir = os.path.dirname(str(config.gmflow_path)) or "."
+    if ctype == "hed" and not tiny:
+        hed_path = os.path.join(ckpt_dir, "ControlNetHED.pth")
+        if os.path.exists(hed_path):
+            from fresco_tpu.models import convert as C
+            from fresco_tpu.models.hed import HED, convert_hed, hed_detector
+
+            model = HED()
+            params = {"params": convert_hed(C.load_torch_state_dict(hed_path))}
+            fn = jax.jit(model.apply)
+            return lambda img: np.asarray(
+                jnp.clip(fn(params, jnp.asarray(img, jnp.float32)[None])[0] * 255, 0, 255)
+            ).astype(np.uint8)
+        print("[fresco_tpu] HED weights not found; falling back to canny")
+    if ctype == "depth" and not tiny:
+        dpt_path = os.path.join(ckpt_dir, "dpt_hybrid-midas-501f0c75.pt")
+        if os.path.exists(dpt_path):
+            from fresco_tpu.models import convert as C
+            from fresco_tpu.models.midas import (
+                DPTHybridDepth, convert_dpt_hybrid, midas_detector,
+            )
+
+            model = DPTHybridDepth()
+            params = {"params": convert_dpt_hybrid(C.load_torch_state_dict(dpt_path))}
+            return lambda img: midas_detector(model, params, img)[0]
+        print("[fresco_tpu] MiDaS weights not found; falling back to canny")
+    return _canny_detector
+
+
+def _build_saliency(config: FrescoConfig):
+    """EGNet background-mask fn when weights are present, else None."""
+    if not config.sod_path or not os.path.exists(str(config.sod_path)):
+        return None
+    from fresco_tpu.models import convert as C
+    from fresco_tpu.models.egnet import (
+        EGNet, convert_egnet, saliency_background_mask,
+    )
+
+    model = EGNet()
+    params = {"params": convert_egnet(C.load_torch_state_dict(config.sod_path))}
+    return lambda imgs: saliency_background_mask(model, params, imgs)
 
 
 def _maybe_load_pretrained(params, config, ucfg, vcfg, ccfg):

@@ -227,6 +227,7 @@ def synthesize(
     guide_channel_weights: jnp.ndarray,
     cfg: PatchMatchConfig = PatchMatchConfig(),
     rng: jax.Array | None = None,
+    backend: str = "tpu",
 ):
     """Synthesize the target-frame style by guided patch matching.
 
@@ -234,9 +235,15 @@ def synthesize(
     source_guides/target_guides: [H,W,Cg] aligned channel stacks;
     guide_channel_weights: [Cg] per-channel weights (already divided by
     the guide's channel count — ebsynth.cpp:669).
+    ``backend``: 'tpu' (jump-flood, device) or 'native' (C++ serpentine
+    exact-parity mode, fresco_tpu/propagate/native).
 
     Returns (output [Ht,Wt,Cs], error [Ht,Wt], nnf [Ht,Wt,2]).
     """
+    if backend == "native":
+        return _synthesize_native(
+            style, source_guides, target_guides, guide_channel_weights, cfg
+        )
     if rng is None:
         rng = jax.random.key(0)
     sh, sw = style.shape[:2]
@@ -276,3 +283,50 @@ def synthesize(
             rand_candidates=cfg.rand_candidates,
         )
     return out, err, nnf
+
+
+def _synthesize_native(style, source_guides, target_guides, guide_weights, cfg):
+    """Coarse-to-fine driver for the C++ serpentine backend."""
+    import numpy as np
+
+    from fresco_tpu.propagate.native import synthesize_level_native
+
+    style = np.asarray(style, np.float32)
+    source_guides = np.asarray(source_guides, np.float32)
+    target_guides = np.asarray(target_guides, np.float32)
+    gw = np.asarray(guide_weights, np.float32)
+    sh, sw, cs = style.shape
+    th, tw = target_guides.shape[:2]
+    sizes = _pyramid_sizes(sh, sw, th, tw, cfg.patch_size, cfg.num_pyramid_levels)
+    sw_arr = np.full((cs,), cfg.style_weight / cs, np.float32)
+
+    def np_resize(x, hw):
+        return np.asarray(resize_bilinear(jnp.asarray(x)[None], hw)[0])
+
+    rng = np.random.default_rng(0)
+    nnf = None
+    for li, ((lsh, lsw), (lth, ltw)) in enumerate(sizes):
+        s_style = np_resize(style, (lsh, lsw))
+        s_guides = np_resize(source_guides, (lsh, lsw))
+        t_guides = np_resize(target_guides, (lth, ltw))
+        r = cfg.patch_size // 2
+        if nnf is None:
+            nnf = np.stack(
+                [
+                    rng.integers(r, lsh - r, (lth, ltw)),
+                    rng.integers(r, lsw - r, (lth, ltw)),
+                ],
+                axis=-1,
+            ).astype(np.int32)
+        else:
+            up = np_resize(nnf.astype(np.float32), (lth, ltw))
+            nnf = np.clip(
+                (up * 2.0).astype(np.int32),
+                [r, r], [lsh - 1 - r, lsw - 1 - r],
+            ).astype(np.int32)
+        out, err, nnf = synthesize_level_native(
+            s_style, s_guides, t_guides, sw_arr, gw, np.ascontiguousarray(nnf),
+            patch=cfg.patch_size, pm_iters=cfg.pm_iters, sv_iters=cfg.sv_iters,
+            uniformity=cfg.uniformity, seed=li,
+        )
+    return jnp.asarray(out), jnp.asarray(err), jnp.asarray(nnf)
