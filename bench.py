@@ -27,6 +27,10 @@ A100_PROXY_KEYFRAMES_PER_SEC = 0.65
 
 def main():
     import jax
+
+    from fresco_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from fresco_tpu.models.controlnet import ControlNet

@@ -27,6 +27,10 @@ def main(argv=None):
         print(f"{k}: {v}")
     print("=" * 80)
 
+    from fresco_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from fresco_tpu.pipeline.runner import FrescoPipeline
 
     pipe = FrescoPipeline(config, tiny=opt.tiny)

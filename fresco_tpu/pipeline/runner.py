@@ -325,6 +325,9 @@ class FrescoPipeline:
             latents = self._translate_batch(
                 imgs, prompts, [n_prompt] * len(imgs), record, propagation, rng
             )
+            from fresco_tpu.utils.guards import check_finite
+
+            check_finite(f"batch{batch_ind}_latents", latents[0])
             record = latents[1]
             images = unit_range_to_uint8(self._decode_jit(b.params, latents[0]))
             bias = 2 if propagation else 0
