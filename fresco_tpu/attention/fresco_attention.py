@@ -221,11 +221,18 @@ def fresco_self_attention(
             q,
         )
 
-    # 1. efficient cross-frame attention (static on/off)
-    cf_mask = None
-    if fresco.cf_masks is not None and hw in fresco.cf_masks:
-        cf_mask = fresco.cf_masks[hw]
-    hidden = cross_frame_attention(q, k, v, cf_mask, fresco.chunk, heads)
+    # 1. efficient cross-frame attention (static on/off):
+    #    cf_masks None       -> cf disabled: plain per-frame self-attention
+    #    cf_masks[hw] None/absent -> maskless mode: keys from frame 0 only
+    #    cf_masks[hw] = mask -> masked union of all frames' valid keys
+    if fresco.cf_masks is not None:
+        cf_mask = fresco.cf_masks.get(hw)
+        hidden = cross_frame_attention(q, k, v, cf_mask, fresco.chunk, heads)
+    else:
+        out = flash_attention(
+            _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads)
+        )
+        hidden = _merge_heads(out)
 
     # 3. temporal-guided trajectory attention (gated per step)
     if fresco.trajectories is not None and hw in fresco.trajectories:
