@@ -49,20 +49,40 @@ def main():
     ctx = jax.random.normal(rng, (2 * f, 77, 768), jnp.bfloat16)
     edges = jax.random.uniform(rng, (2 * f, 512, 512, 3), jnp.bfloat16)
 
-    uparams = unet.init(rng, latents[:1], jnp.int32(0), ctx[:1])
-    cparams = controlnet.init(rng, latents[:1], jnp.int32(0), ctx[:1], edges[:1])
+    t0 = time.perf_counter()
+    uparams = jax.jit(unet.init)(rng, latents[:1], jnp.int32(0), ctx[:1])
+    cparams = jax.jit(controlnet.init)(
+        rng, latents[:1], jnp.int32(0), ctx[:1], edges[:1]
+    )
+    jax.block_until_ready((uparams, cparams))
+    import sys
+    print(f"[bench] init in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+
+    import sys
 
     @jax.jit
-    def step(latents, t):
-        ctrl = controlnet.apply(cparams, latents, t, ctx, edges, 0.7)
+    def ctrl_step(latents, t):
+        return controlnet.apply(cparams, latents, t, ctx, edges, 0.7)
+
+    @jax.jit
+    def unet_step(latents, t, ctrl):
         eps = unet.apply(uparams, latents, t, ctx, controlnet_residuals=ctrl)
         e0, e1 = jnp.split(eps, 2, axis=0)
         guided = e0 + 7.5 * (e1 - e0)
         return jnp.concatenate([guided, guided], axis=0)
 
-    # compile + warmup
-    out = step(latents, jnp.int32(801))
+    def step(latents, t):
+        return unet_step(latents, t, ctrl_step(latents, t))
+
+    # compile + warmup (split programs compile/cache independently)
+    t0 = time.perf_counter()
+    c = ctrl_step(latents, jnp.int32(801))
+    jax.block_until_ready(c)
+    print(f"[bench] controlnet compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    out = unet_step(latents, jnp.int32(801), c)
     out.block_until_ready()
+    print(f"[bench] unet compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
 
     n_iter = 6
     t0 = time.perf_counter()

@@ -45,6 +45,10 @@ class FrescoConfig:
     freeu_s2: float = 1.0
     guidance_scale: float = 7.5
 
+    # per-keyframe prompt suffixes, e.g. {38: ', closed eyes'}
+    # (reference run_fresco.py:135-137)
+    extra_prompts: tuple = ()
+
     # --- video-to-video translation ---
     batch_size: int = 8
     resolution: int = 512

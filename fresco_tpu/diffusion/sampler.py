@@ -133,12 +133,21 @@ class FrescoSampler:
         if record_in is None:
             record_in = jnp.zeros((n_steps, 2, *latent_hw, 4), jnp.float32)
 
+        # hoist the edge-image conditioning embedding out of the step loop
+        # (fixed per batch; the reference recomputes it every step)
+        cond_emb = None
+        if cfg.use_controlnet and edges is not None:
+            from fresco_tpu.models.controlnet import embed_cond
+
+            edges2 = jnp.concatenate([edges] * 2, axis=0)
+            cond_emb = embed_cond(self.controlnet, params["controlnet"], edges2)
+
         def unet_step(latents, t, use_intra, use_inter, do_opt, scale_i):
             lmi = jnp.concatenate([latents] * 2, axis=0).astype(jnp.float32)
-            if cfg.use_controlnet and edges is not None:
-                edges2 = jnp.concatenate([edges] * 2, axis=0)
+            if cond_emb is not None:
                 ctrl = self.controlnet.apply(
-                    params["controlnet"], lmi, t, prompt_embeds, edges2, scale_i
+                    params["controlnet"], lmi, t, prompt_embeds, cond_emb,
+                    scale_i, cond_is_embedded=True,
                 )
             else:
                 ctrl = None

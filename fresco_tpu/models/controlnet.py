@@ -63,8 +63,17 @@ class ControlNet(nn.Module):
         encoder_hidden_states: jnp.ndarray,
         cond: jnp.ndarray,
         conditioning_scale: jnp.ndarray | float = 1.0,
+        *,
+        cond_is_embedded: bool = False,
     ) -> tuple[Sequence[jnp.ndarray], jnp.ndarray]:
-        """sample [B,h,w,4]; cond [B,8h,8w,3] in [0,1].
+        """sample [B,h,w,4]; cond [B,8h,8w,3] in [0,1] — or, with
+        ``cond_is_embedded=True``, the precomputed latent-resolution
+        embedding from :meth:`embed_cond`.
+
+        The conditioning embedding depends only on the (fixed per batch)
+        control image — the reference recomputes it every denoise step
+        (pipe_FRESCO.py:188-196); here the sampler hoists it out of the
+        scanned loop.
 
         Returns (down_residuals, mid_residual) scaled by
         ``conditioning_scale`` (pipe_FRESCO.py:193).
@@ -78,10 +87,13 @@ class ControlNet(nn.Module):
         temb = TimestepEmbedding(chans[0] * 4, self.dtype, name="time_embedding")(temb)
 
         h = Conv2d(chans[0], dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
-        h = h + ControlNetConditioningEmbedding(
-            chans[0], self.dtype, self.cond_embed_channels,
-            name="controlnet_cond_embedding",
-        )(cond.astype(self.dtype))
+        if cond_is_embedded:
+            h = h + cond.astype(self.dtype)
+        else:
+            h = h + ControlNetConditioningEmbedding(
+                chans[0], self.dtype, self.cond_embed_channels,
+                name="controlnet_cond_embedding",
+            )(cond.astype(self.dtype))
 
         residuals = [h]
         for i, ch in enumerate(chans):
@@ -117,3 +129,16 @@ class ControlNet(nn.Module):
             kernel_init=nn.initializers.zeros, name="controlnet_mid_block",
         )(h) * conditioning_scale
         return tuple(down_out), mid_out
+
+
+def embed_cond(controlnet: ControlNet, params: dict, cond: jnp.ndarray):
+    """Apply just the conditioning embedding (params live under the
+    'controlnet_cond_embedding' scope).  Used by the sampler to hoist the
+    edge-image conv stack out of the denoise loop."""
+    emb = ControlNetConditioningEmbedding(
+        controlnet.cfg.block_out_channels[0],
+        controlnet.dtype,
+        controlnet.cond_embed_channels,
+    )
+    sub = params["params"]["controlnet_cond_embedding"]
+    return emb.apply({"params": sub}, cond.astype(controlnet.dtype))

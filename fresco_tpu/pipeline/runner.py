@@ -104,12 +104,14 @@ def build_models(
     latent = jnp.zeros((1, 8, 8, 4))
     img = jnp.zeros((1, 64, 64, 3))
     ctx = jnp.zeros((1, 77, ccfg.hidden_size))
+    # jit the inits: eager init dispatches thousands of ops individually,
+    # which is pathologically slow over a remote-tunneled TPU
     params = {
-        "unet": unet.init(ks[0], latent, jnp.int32(0), ctx),
-        "vae": vae.init(ks[1], img),
-        "controlnet": controlnet.init(ks[2], latent, jnp.int32(0), ctx, img),
-        "text": text_encoder.init(ks[3], jnp.zeros((1, 77), jnp.int32)),
-        "gmflow": gmflow.init(ks[4], img, img),
+        "unet": jax.jit(unet.init)(ks[0], latent, jnp.int32(0), ctx),
+        "vae": jax.jit(vae.init)(ks[1], img),
+        "controlnet": jax.jit(controlnet.init)(ks[2], latent, jnp.int32(0), ctx, img),
+        "text": jax.jit(text_encoder.init)(ks[3], jnp.zeros((1, 77), jnp.int32)),
+        "gmflow": jax.jit(gmflow.init)(ks[4], img, img),
     }
 
     if load_weights and not tiny:
@@ -318,9 +320,10 @@ class FrescoPipeline:
         for batch_ind, sub in enumerate(sublists):
             t0 = time.time()
             propagation = batch_ind > 0
+            extra = dict(cfg.extra_prompts)
             imgs = ([*prev_imgs] if propagation else []) + [frames[i] for i in sub]
             prompts = ([*prev_prompts] if propagation else []) + [
-                cfg.prompt + a_prompt for _ in sub
+                cfg.prompt + a_prompt + extra.get(i, "") for i in sub
             ]
             latents = self._translate_batch(
                 imgs, prompts, [n_prompt] * len(imgs), record, propagation, rng
