@@ -1,25 +1,24 @@
 """Benchmark: FRESCO keyframe translation throughput on one TPU chip.
 
-Measures the full-size (SD1.5 + ControlNet, 512px, CFG) denoise step —
-the dominant cost of keyframe translation (SURVEY.md §3.1) — and
-extrapolates keyframes/sec for the reference's standard setting of 20
-DDPM steps with warmup 3 (17 executed UNet+ControlNet steps per batch,
-config/config_music.yaml).
+Measures the scanned 17-step denoise loop (SD1.5 UNet + ControlNet,
+512px, CFG batch 8 keyframes) — the dominant cost of keyframe
+translation (SURVEY.md §3.1) and exactly how the framework runs it: the
+whole loop is ONE jitted program (lax.scan), so per-step dispatch
+overhead doesn't exist (measured ~13s/step of pure handle-marshaling on
+this tunneled setup when stepping from Python — the reference's
+per-step host loop pays the analogous torch dispatch cost).
 
-Baseline: the reference publishes no numbers (BASELINE.md).  We use a
-measured-elsewhere A100 fp16 estimate for the same workload as the
-provisional ``vs_baseline`` denominator: SD1.5+ControlNet+CFG at 512px
-runs ~11 it/s per image on A100 => 8-frame batch at 17 steps ≈ 12.4 s
-≈ 0.65 keyframes/sec *without* FRESCO overheads; FRESCO's published
-repo is substantially slower due to the in-loop optimization.  We
-conservatively use 0.65 kf/s as the A100 proxy until a measured
-reference baseline exists.
+Baseline: the reference publishes no numbers (BASELINE.md).  We use an
+A100 fp16 proxy for the same workload: SD1.5+ControlNet+CFG at 512px
+~11 it/s single image => 8-frame batch, 17 steps ≈ 0.65 keyframes/sec
+*without* FRESCO overheads.  vs_baseline = measured / 0.65.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 A100_PROXY_KEYFRAMES_PER_SEC = 0.65
@@ -32,6 +31,7 @@ def main():
 
     enable_compilation_cache()
     import jax.numpy as jnp
+    import numpy as np
 
     from fresco_tpu.models.controlnet import ControlNet
     from fresco_tpu.models.unet import UNet2DCondition, UNetConfig
@@ -55,48 +55,46 @@ def main():
         rng, latents[:1], jnp.int32(0), ctx[:1], edges[:1]
     )
     jax.block_until_ready((uparams, cparams))
-    import sys
     print(f"[bench] init in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
 
-    import sys
+    ts = jnp.asarray(np.arange(steps_executed, dtype=np.int32)[::-1] * 50 + 1)
 
     @jax.jit
-    def ctrl_step(latents, t):
-        return controlnet.apply(cparams, latents, t, ctx, edges, 0.7)
+    def denoise_loop(uparams, cparams, latents, ctx, edges):
+        """The full 17-step loop as one program (mirrors the sampler)."""
 
-    @jax.jit
-    def unet_step(latents, t, ctrl):
-        eps = unet.apply(uparams, latents, t, ctx, controlnet_residuals=ctrl)
-        e0, e1 = jnp.split(eps, 2, axis=0)
-        guided = e0 + 7.5 * (e1 - e0)
-        return jnp.concatenate([guided, guided], axis=0)
+        def body(lat, t):
+            ctrl = controlnet.apply(cparams, lat, t, ctx, edges, 0.7)
+            eps = unet.apply(uparams, lat, t, ctx, controlnet_residuals=ctrl)
+            e0, e1 = jnp.split(eps, 2, axis=0)
+            guided = e0 + 7.5 * (e1 - e0)
+            lat = jnp.concatenate([guided, guided], axis=0) * 0.99 + lat * 0.01
+            return lat, ()
 
-    def step(latents, t):
-        return unet_step(latents, t, ctrl_step(latents, t))
+        out, _ = jax.lax.scan(body, latents, ts)
+        return out
 
-    # compile + warmup (split programs compile/cache independently)
     t0 = time.perf_counter()
-    c = ctrl_step(latents, jnp.int32(801))
-    jax.block_until_ready(c)
-    print(f"[bench] controlnet compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    out = unet_step(latents, jnp.int32(801), c)
-    out.block_until_ready()
-    print(f"[bench] unet compiled in {time.perf_counter()-t0:.0f}s", file=sys.stderr, flush=True)
+    out = denoise_loop(uparams, cparams, latents, ctx, edges)
+    _ = np.asarray(out[0, 0, 0, 0])  # host fetch forces true completion
+    print(
+        f"[bench] loop compiled+run1 in {time.perf_counter()-t0:.0f}s",
+        file=sys.stderr, flush=True,
+    )
 
-    n_iter = 6
+    n_iter = 3
     t0 = time.perf_counter()
     x = latents
-    for i in range(n_iter):
-        x = step(x, jnp.int32(801 - i * 50))
-    x.block_until_ready()
+    for _ in range(n_iter):
+        x = denoise_loop(uparams, cparams, x, ctx, edges)
+    _ = np.asarray(x[0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / n_iter
 
-    keyframes_per_sec = f / (dt * steps_executed)
+    keyframes_per_sec = f / dt
     print(
         json.dumps(
             {
-                "metric": "keyframes/sec/chip @512px SD1.5+ControlNet 20-step",
+                "metric": "keyframes/sec/chip @512px SD1.5+ControlNet 17-step loop",
                 "value": round(keyframes_per_sec, 4),
                 "unit": "keyframes/sec",
                 "vs_baseline": round(
