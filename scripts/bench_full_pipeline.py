@@ -1,0 +1,99 @@
+"""Full-pipeline benchmark: one real FRESCO batch at 512px on the chip.
+
+Runs the ACTUAL sampler (VAE encode -> scanned denoise with FRESCO
+attention, feature optimization, background smoothing -> record) plus
+interframe/intraframe parameter prep with full-size random-weight
+models on synthetic frames.  Validates HBM fit and measures the honest
+end-to-end keyframes/sec including all FRESCO overheads — the number
+BASELINE.md calls for (the step-loop-only number is bench.py).
+
+Usage: python scripts/bench_full_pipeline.py [--frames 8] [--res 512]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--opt-iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    from fresco_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fresco_tpu.core.config import FrescoConfig
+    from fresco_tpu.pipeline.runner import FrescoPipeline, build_models
+
+    cfg = FrescoConfig(
+        resolution=args.res,
+        batch_size=args.frames,
+        num_inference_steps=20,
+        num_warmup_steps=3,
+        end_opt_step=15,
+        opt_iters=args.opt_iters,
+        use_controlnet=True,
+        controlnet_type="canny",
+        use_saliency=True,
+        prompt="bench",
+        dtype="bfloat16",
+    )
+    t0 = time.perf_counter()
+    pipe = FrescoPipeline(cfg, tiny=False)
+    print(f"[full] models built in {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+    # synthetic saliency (EGNet weights unavailable offline)
+    pipe.bundle.saliency_fn = lambda imgs: jnp.full(
+        (imgs.shape[0], imgs.shape[1] // 2, imgs.shape[2] // 2, 1), 0.5
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = [
+        rng.integers(0, 255, (args.res, args.res, 3)).astype(np.uint8)
+        for _ in range(args.frames)
+    ]
+    prompts = ["bench"] * args.frames
+    nprompts = [""] * args.frames
+
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    latents, record = pipe._translate_batch(
+        imgs, prompts, nprompts, None, False, key
+    )
+    _ = np.asarray(latents[0, 0, 0, 0])
+    t_first = time.perf_counter() - t0
+    print(f"[full] first batch (compile+run): {t_first:.0f}s",
+          file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    latents, record = pipe._translate_batch(
+        imgs, prompts, nprompts, None, False, key
+    )
+    _ = np.asarray(latents[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "full-FRESCO keyframes/sec/chip @512px "
+                          "(attn+opt+bg, 20 steps)",
+                "value": round(args.frames / dt, 4),
+                "unit": "keyframes/sec",
+                "batch_seconds": round(dt, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
