@@ -138,8 +138,8 @@ def flash_attention(
     key_mask: jnp.ndarray | None = None,
     *,
     scale: float | None = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Masked flash attention.  q [B,H,Sq,D], k/v [B,H,Sk,D] -> [B,H,Sq,D].

@@ -96,6 +96,7 @@ def intraframe_params(
     frames: jnp.ndarray,
     prompt_embeds: jnp.ndarray,
     rng: jax.Array,
+    corr_dtype=jnp.bfloat16,
 ):
     """Reference pass: decoder attention features + per-stage grams.
 
@@ -117,7 +118,9 @@ def intraframe_params(
         return_up_features=True, mutable=["intermediates"],
     )
 
-    # gram matrices (diffusion_hacked.py:888-894)
+    # gram matrices (diffusion_hacked.py:888-894).  Stored in corr_dtype
+    # (default bf16): the stage-3 gram is [2F, 4096, 4096] — the largest
+    # resident buffer of a batch; fp32 costs 1.07 GB at 512px/8 frames.
     correlations = {}
     for stage, feat in enumerate(up_features):
         b, h, w, c = feat.shape
@@ -125,7 +128,7 @@ def intraframe_params(
         v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
         correlations[stage] = jnp.einsum(
             "bic,bjc->bij", v, v, preferred_element_type=jnp.float32
-        )
+        ).astype(corr_dtype)
 
     # stored attention inputs, ordered by module path == visit order
     inter = state["intermediates"]
