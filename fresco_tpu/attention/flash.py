@@ -157,6 +157,13 @@ def flash_attention(
         interpret = jax.devices()[0].platform != "tpu"
     if key_mask is None:
         key_mask = jnp.ones((b, sk), dtype=bool)
+    # scale blocks to the head dim so q/k/v tiles + the [bq, bk] logits +
+    # fp32 accumulator stay inside the ~16MB VMEM budget (d=512 VAE
+    # attention OOMs at 1024-blocks)
+    d_p = _round_up(d, 128)
+    cap = 1024 if d_p <= 128 else (512 if d_p <= 256 else 256)
+    block_q = min(block_q, cap)
+    block_k = min(block_k, cap)
     return _flash_attention_core(
         q, k, v, key_mask.astype(jnp.float32), scale, block_q, block_k, interpret
     )

@@ -76,20 +76,44 @@ def temporal_loss(
 
 
 def spatial_loss(
-    cs: jnp.ndarray, correlation: jnp.ndarray, gram_dtype=jnp.bfloat16
+    cs: jnp.ndarray,
+    correlation: jnp.ndarray,
+    gram_dtype=jnp.bfloat16,
+    chunk_rows: int = 1024,
 ) -> jnp.ndarray:
     """L1 between normalized-feature gram and the reference gram
-    (diffusion_hacked.py:469-476).  correlation: [B, hw, hw] fp32."""
+    (diffusion_hacked.py:469-476).  correlation: [B, hw, hw].
+
+    The gram is [B, hw, hw] — 537 MB bf16 at 512px stage 3, and autodiff
+    would keep sign(G-C)-sized cotangents alive.  For hw > chunk_rows the
+    loss is computed over row chunks under jax.checkpoint, so the
+    backward pass rematerializes one [B, chunk, hw] strip at a time."""
     b, h, w, c = cs.shape
-    v = cs.reshape(b, h * w, c)
+    hw = h * w
+    v = cs.reshape(b, hw, c)
     v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
-    gram = jnp.einsum(
-        "bic,bjc->bij",
-        v.astype(gram_dtype),
-        v.astype(gram_dtype),
-        preferred_element_type=jnp.float32,
-    )
-    return jnp.mean(jnp.abs(gram - correlation))
+    vg = v.astype(gram_dtype)
+
+    if hw <= chunk_rows:
+        gram = jnp.einsum(
+            "bic,bjc->bij", vg, vg, preferred_element_type=jnp.float32
+        )
+        return jnp.mean(jnp.abs(gram - correlation))
+
+    n_chunks = hw // chunk_rows  # hw is a square feature map, power-of-2
+
+    @jax.checkpoint
+    def chunk_term(vg, row0):
+        vc = jax.lax.dynamic_slice_in_dim(vg, row0, chunk_rows, axis=1)
+        cc = jax.lax.dynamic_slice_in_dim(correlation, row0, chunk_rows, axis=1)
+        g = jnp.einsum("bic,bjc->bij", vc, vg, preferred_element_type=jnp.float32)
+        return jnp.sum(jnp.abs(g - cc))
+
+    def body(acc, i):
+        return acc + chunk_term(vg, i * chunk_rows), None
+
+    total, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_chunks))
+    return total / (b * hw * hw)
 
 
 def optimize_feature(

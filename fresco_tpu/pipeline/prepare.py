@@ -120,15 +120,25 @@ def intraframe_params(
 
     # gram matrices (diffusion_hacked.py:888-894).  Stored in corr_dtype
     # (default bf16): the stage-3 gram is [2F, 4096, 4096] — the largest
-    # resident buffer of a batch; fp32 costs 1.07 GB at 512px/8 frames.
+    # resident buffer of a batch (1.07 GB fp32 at 512px/8 frames).
+    # Computed in row chunks so no fp32 [B, hw, hw] intermediate exists.
     correlations = {}
     for stage, feat in enumerate(up_features):
         b, h, w, c = feat.shape
-        v = feat.astype(jnp.float32).reshape(b, h * w, c)
+        hw = h * w
+        v = feat.astype(jnp.float32).reshape(b, hw, c)
         v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
-        correlations[stage] = jnp.einsum(
-            "bic,bjc->bij", v, v, preferred_element_type=jnp.float32
-        ).astype(corr_dtype)
+        chunk = min(hw, 1024)
+
+        def row_chunk(row0, v=v):
+            vc = jax.lax.dynamic_slice_in_dim(v, row0, chunk, axis=1)
+            g = jnp.einsum(
+                "bic,bjc->bij", vc, v, preferred_element_type=jnp.float32
+            )
+            return g.astype(corr_dtype)
+
+        parts = [row_chunk(i * chunk) for i in range(hw // chunk)]
+        correlations[stage] = jnp.concatenate(parts, axis=1)
 
     # stored attention inputs, ordered by module path == visit order
     inter = state["intermediates"]
