@@ -127,11 +127,13 @@ def spatial_guided_query(
     Equivalent of diffusion_hacked.py:278-285: per-frame
     SDPA(query=ref_q, key=ref_k*scale_factor, value=q) with zero identity
     bias (intraattn_bias == 0 in the reference, so no bias term).
+    Runs through the flash kernel: the dense hw x hw logits would be
+    [2F, heads, 4096, 4096] fp32 ≈ 8.6 GB at 512px/8 frames.
     """
     qh = _split_heads(q, heads)
     rq = _split_heads(ref_q, heads)
     rk = _split_heads(ref_k, heads) * scale_factor
-    out = _sdpa(rq, rk, qh)
+    out = flash_attention(rq, rk, qh)
     return _merge_heads(out)
 
 
