@@ -173,5 +173,7 @@ def optimize_feature(
     (cs, _), _ = jax.lax.scan(
         step, (x0, tx.init(x0)), None, length=cfg.iters
     )
-    out = adain(cs, x0)
+    # style_eps=1.0 reproduces the reference's eps/chunk argument swap at
+    # diffusion_hacked.py:488 (see ops/adain.py docstring)
+    out = adain(cs, x0, style_eps=1.0)
     return out.astype(sample.dtype)

@@ -31,15 +31,27 @@ def calc_mean_std(feat: jnp.ndarray, eps: float = 1e-5, chunk: int = 1):
 
 
 def adain(
-    content: jnp.ndarray, style: jnp.ndarray, chunk: int = 1
+    content: jnp.ndarray,
+    style: jnp.ndarray,
+    chunk: int = 1,
+    style_eps: float = 1e-5,
 ) -> jnp.ndarray:
     """Re-normalize ``content`` to ``style``'s instance statistics.
 
     Equivalent of reference utils.py:70-78 (used to renormalize optimized
     decoder features back to the pre-optimization statistics,
     diffusion_hacked.py:488).
+
+    Reference quirk, reproduced for parity: utils.py:73 calls
+    ``calc_mean_std(style_feat, chunk)`` — the second positional arg of
+    calc_mean_std is *eps*, so the intended chunk lands in eps and the
+    style std is computed as sqrt(var + chunk).  With the default chunk=1
+    (the only call site, diffusion_hacked.py:488) the style statistics
+    use eps=1.0 while content statistics use eps=1e-5.  Pass
+    ``style_eps=float(chunk)`` to match; style chunking itself is never
+    actually exercised by the reference.
     """
-    style_mean, style_std = calc_mean_std(style, chunk=chunk)
+    style_mean, style_std = calc_mean_std(style, eps=style_eps)
     content_mean, content_std = calc_mean_std(content)
     normalized = (content - content_mean) / content_std
     return normalized * style_std + style_mean
