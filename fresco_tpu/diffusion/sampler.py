@@ -207,7 +207,15 @@ class FrescoSampler:
 
             if cfg.bg_smooth_latents and fresco.saliency is not None:
                 def smooth(x0):
-                    img = self.vae.apply(params["vae"], x0, method=self.vae.decode)
+                    # per-frame VAE round-trip (lax.map): batch-F decoder
+                    # activations at 512px are the scan body's largest
+                    # transient; chunking divides the peak by F
+                    img = jax.lax.map(
+                        lambda z: self.vae.apply(
+                            params["vae"], z[None], method=self.vae.decode
+                        )[0],
+                        x0,
+                    )
                     img = warp_and_fuse(
                         img.astype(jnp.float32), fresco.fwd_flow, fresco.bwd_flow,
                         fresco.fwd_occ, fresco.bwd_occ, fresco.saliency, chunk=1,
@@ -215,9 +223,13 @@ class FrescoSampler:
                     rng_s = jax.random.fold_in(
                         jax.random.fold_in(rng_steps, 7919), idx
                     )
-                    return self.vae.apply(
-                        params["vae"], img, rng=rng_s, method=self.vae.encode
-                    ).astype(jnp.float32)
+                    return jax.lax.map(
+                        lambda zi: self.vae.apply(
+                            params["vae"], zi[0][None], rng=zi[1],
+                            method=self.vae.encode,
+                        )[0].astype(jnp.float32),
+                        (img, jax.random.split(rng_s, img.shape[0])),
+                    )
 
                 pred_x0 = jax.lax.cond(do_bg, smooth, lambda x: x, pred_x0)
 
