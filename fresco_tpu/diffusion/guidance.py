@@ -20,8 +20,6 @@ the reference detaches everything else too), the Adam loop is a
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

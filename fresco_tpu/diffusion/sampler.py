@@ -16,7 +16,6 @@ and emits ``record_out`` as its ys.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import flax.struct

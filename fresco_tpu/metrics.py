@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from fresco_tpu.ops.warp import flow_warp, forward_backward_consistency

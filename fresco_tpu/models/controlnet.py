@@ -8,7 +8,6 @@ block.  Shares block modules with fresco_tpu.models.unet.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 import flax.linen as nn

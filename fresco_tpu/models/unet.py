@@ -23,12 +23,11 @@ attention uses the Pallas flash kernel through fresco_self_attention.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from fresco_tpu.attention.flash import flash_attention
 from fresco_tpu.attention.fresco_attention import (
     FrescoAttnParams,
     fresco_self_attention,

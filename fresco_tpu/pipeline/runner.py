@@ -15,7 +15,6 @@ useful for smoke runs and benchmarking.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 import time
 from typing import Any, Callable
@@ -35,7 +34,6 @@ from fresco_tpu.models.gmflow import GMFlow, GMFlowConfig
 from fresco_tpu.models.unet import UNet2DCondition, UNetConfig
 from fresco_tpu.models.vae import AutoencoderKL, VAEConfig
 from fresco_tpu.ops.image import resize_image, uint8_to_unit_range, unit_range_to_uint8
-from fresco_tpu.ops.morphology import dilate
 from fresco_tpu.pipeline import prepare
 from fresco_tpu.pipeline.keyframes import select_keyframes
 from fresco_tpu.pipeline.text import encode_prompts, make_tokenizer
@@ -140,7 +138,7 @@ def _build_detector(config: FrescoConfig, tiny: bool):
         hed_path = os.path.join(ckpt_dir, "ControlNetHED.pth")
         if os.path.exists(hed_path):
             from fresco_tpu.models import convert as C
-            from fresco_tpu.models.hed import HED, convert_hed, hed_detector
+            from fresco_tpu.models.hed import HED, convert_hed
 
             model = HED()
             params = {"params": convert_hed(C.load_torch_state_dict(hed_path))}

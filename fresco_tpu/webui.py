@@ -16,8 +16,6 @@ from __future__ import annotations
 import dataclasses
 import os
 
-import numpy as np
-
 from fresco_tpu.core.config import FrescoConfig
 
 
