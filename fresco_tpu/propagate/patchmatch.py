@@ -329,3 +329,71 @@ def _synthesize_native(style, source_guides, target_guides, guide_weights, cfg):
             uniformity=cfg.uniformity, seed=li,
         )
     return jnp.asarray(out), jnp.asarray(err), jnp.asarray(nnf)
+
+
+def synthesize_batch(
+    styles: jnp.ndarray,
+    source_guides: jnp.ndarray,
+    target_guides: jnp.ndarray,
+    guide_channel_weights: jnp.ndarray,
+    cfg: PatchMatchConfig = PatchMatchConfig(),
+    rng: jax.Array | None = None,
+):
+    """Batched guided synthesis: leading axis over independent jobs.
+
+    Used to run an interval's forward and backward chains (and, at equal
+    interval lengths, multiple intervals) as ONE device program — the
+    reference fans these out as separate OS processes + subprocess calls
+    (video_blend.py:114-139).  All jobs share shapes; the per-level
+    kernel is vmapped over the job axis.
+
+    styles [B,Hs,Ws,Cs]; guides [B,H,W,Cg]; returns (out [B,Ht,Wt,Cs],
+    err [B,Ht,Wt], nnf [B,Ht,Wt,2]).
+    """
+    if rng is None:
+        rng = jax.random.key(0)
+    nb, sh, sw, cs = styles.shape
+    th, tw = target_guides.shape[1:3]
+    weights_s = jnp.full((cs,), cfg.style_weight / cs, jnp.float32)
+
+    level_fn = jax.vmap(
+        functools.partial(
+            _synthesize_level,
+            patch=cfg.patch_size,
+            pm_iters=cfg.pm_iters,
+            sv_iters=cfg.sv_iters,
+            uniformity=cfg.uniformity,
+            rand_candidates=cfg.rand_candidates,
+        ),
+        in_axes=(0, 0, 0, None, None, 0, 0),
+    )
+
+    sizes = _pyramid_sizes(sh, sw, th, tw, cfg.patch_size, cfg.num_pyramid_levels)
+    nnf = None
+    for li, ((lsh, lsw), (lth, ltw)) in enumerate(sizes):
+        s_style = resize_bilinear(styles, (lsh, lsw))
+        s_guides = resize_bilinear(source_guides, (lsh, lsw))
+        t_guides = resize_bilinear(target_guides, (lth, ltw))
+        src_all = jnp.concatenate([s_style, s_guides], axis=-1)
+
+        rng, k_init, k_run = jax.random.split(rng, 3)
+        r = cfg.patch_size // 2
+        if nnf is None:
+            nnf = jnp.stack(
+                [
+                    jax.random.randint(k_init, (nb, lth, ltw), r, lsh - r),
+                    jax.random.randint(
+                        jax.random.fold_in(k_init, 1), (nb, lth, ltw), r, lsw - r
+                    ),
+                ],
+                axis=-1,
+            )
+        else:
+            up = resize_bilinear(nnf.astype(jnp.float32), (lth, ltw))
+            nnf = (up * 2.0).astype(jnp.int32)
+
+        nnf, out, err = level_fn(
+            src_all, t_guides, s_style, guide_channel_weights, weights_s,
+            nnf, jax.random.split(k_run, nb),
+        )
+    return out, err, nnf

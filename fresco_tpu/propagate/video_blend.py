@@ -32,7 +32,11 @@ from fresco_tpu.propagate.guides import (
     warp_nearest,
 )
 from fresco_tpu.propagate.histogram import histogram_blend
-from fresco_tpu.propagate.patchmatch import PatchMatchConfig, synthesize
+from fresco_tpu.propagate.patchmatch import (
+    PatchMatchConfig,
+    synthesize,
+    synthesize_batch,
+)
 from fresco_tpu.propagate.poisson import poisson_fusion
 
 try:
@@ -122,6 +126,66 @@ def _synthesize_chain(
     return outputs, errors
 
 
+def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng):
+    """Advance the forward and backward chains of one interval in
+    lockstep, synthesizing both directions per position as one batched
+    device call (synthesize_batch, B=2) — replaces the reference's
+    per-direction subprocess fan-out (video_blend.py:67-106)."""
+    outs = ([], [])
+    errs = ([], [])
+    prev_stylized = [key_imgs[0], key_imgs[1]]
+    h, w = frames_pair[0][0].shape[:2]
+
+    pos_guides = []
+    edge_srcs = []
+    src_stacks = []
+    for d in range(2):
+        frames, flows = frames_pair[d], flows_pair[d]
+        pg = positional_chain(h, w, [f for f, _ in flows], [o for _, o in flows])
+        pos_guides.append(pg)
+        edge_srcs.append(edge_guide(frames[0]))
+        src_stacks.append(
+            np.concatenate(
+                [frames[0], edge_srcs[d], key_imgs[d], pg[0]], axis=-1
+            ).astype(np.float32)
+        )
+    wpc = [
+        np.full(3, GUIDE_WEIGHTS["color"] / 3),
+        np.full(3, GUIDE_WEIGHTS["edge"] / 3),
+        np.full(3, GUIDE_WEIGHTS["temporal"] / 3),
+        np.full(3, GUIDE_WEIGHTS["positional"] / 3),
+    ]
+    weights = jnp.asarray(np.concatenate(wpc), jnp.float32)
+    styles = jnp.asarray(np.stack([k.astype(np.float32) for k in key_imgs]))
+    src_guides = jnp.asarray(np.stack(src_stacks))
+
+    interval = len(frames_pair[0]) - 1
+    for j in range(1, interval + 1):
+        tgt_stacks = []
+        for d in range(2):
+            frames, flows = frames_pair[d], flows_pair[d]
+            bwd_flow, bwd_occ = flows[j - 1]
+            temporal = inpaint_occluded(
+                warp_nearest(prev_stylized[d], bwd_flow).astype(np.uint8), bwd_occ
+            )
+            tgt_stacks.append(
+                np.concatenate(
+                    [frames[j], edge_guide(frames[j]), temporal, pos_guides[d][j]],
+                    axis=-1,
+                ).astype(np.float32)
+            )
+        out, err, _ = synthesize_batch(
+            styles, src_guides, jnp.asarray(np.stack(tgt_stacks)), weights,
+            cfg, rng=jax.random.fold_in(rng, j),
+        )
+        out_np = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+        for d in range(2):
+            outs[d].append(out_np[d])
+            errs[d].append(np.asarray(err[d]))
+            prev_stylized[d] = out_np[d]
+    return (outs[0], errs[0]), (outs[1], errs[1])
+
+
 def blend_video(
     base_dir: str,
     key_ind: list[int],
@@ -168,11 +232,6 @@ def blend_video(
         seq_frames = [frames[i] for i in range(beg, end + 1)]
 
         fwd_flows = [fcache.get(seq_frames, j) for j in range(interval)]
-        fwd_out, fwd_err = _synthesize_chain(
-            keys[beg], seq_frames, fwd_flows, patch_cfg,
-            jax.random.fold_in(rng, 2 * seq_i),
-        )
-
         rev_frames = seq_frames[::-1]
         bwd_flows = []
         for j in range(interval):
@@ -181,9 +240,14 @@ def blend_video(
             flow = flow_fn(a, b)
             _, occ = forward_backward_consistency(flow[0:1], flow[1:2])
             bwd_flows.append((np.asarray(flow[1]), np.asarray(occ[0])))
-        bwd_out, bwd_err = _synthesize_chain(
-            keys[end], rev_frames, bwd_flows, patch_cfg,
-            jax.random.fold_in(rng, 2 * seq_i + 1),
+
+        # both directions advance in lockstep as one device batch
+        (fwd_out, fwd_err), (bwd_out, bwd_err) = _synthesize_chain_pair(
+            (keys[beg], keys[end]),
+            (seq_frames, rev_frames),
+            (fwd_flows, bwd_flows),
+            patch_cfg,
+            jax.random.fold_in(rng, seq_i),
         )
         bwd_out, bwd_err = bwd_out[::-1], bwd_err[::-1]
 
