@@ -58,19 +58,36 @@ def error_mask(dist1, dist2, weight1: float, weight2: float) -> np.ndarray:
 
 @dataclasses.dataclass
 class _FlowCache:
+    """Flow computation with optional on-disk caching, like the
+    reference's FlowCalc tmp/*.npy cache (flow/flow_utils.py:185-191)."""
+
     flow_fn: object  # jitted GMFlow apply on [1,H,W,3] pairs
     cache: dict
+    tmp_dir: str | None = None
 
-    def get(self, frames: list[np.ndarray], i: int):
+    def _path(self, tag: str):
+        if self.tmp_dir is None:
+            return None
+        return os.path.join(self.tmp_dir, f"flow_{tag}.npz")
+
+    def get(self, frames: list[np.ndarray], i: int, tag: str | None = None):
         """bwd flow + occlusion for pair (frame i -> i+1)."""
-        if i not in self.cache:
-            a = jnp.asarray(frames[i], jnp.float32)[None]
-            b = jnp.asarray(frames[i + 1], jnp.float32)[None]
-            flow = self.flow_fn(a, b)  # [2,H,W,2] fwd,bwd
-            fwd, bwd = flow[0:1], flow[1:2]
-            _, bwd_occ = forward_backward_consistency(fwd, bwd)
-            self.cache[i] = (np.asarray(bwd[0]), np.asarray(bwd_occ[0]))
-        return self.cache[i]
+        key = tag if tag is not None else i
+        if key not in self.cache:
+            path = self._path(str(key)) if tag is not None else None
+            if path and os.path.exists(path):
+                z = np.load(path)
+                self.cache[key] = (z["flow"], z["occ"])
+            else:
+                a = jnp.asarray(frames[i], jnp.float32)[None]
+                b = jnp.asarray(frames[i + 1], jnp.float32)[None]
+                flow = self.flow_fn(a, b)  # [2,H,W,2] fwd,bwd
+                fwd, bwd = flow[0:1], flow[1:2]
+                _, bwd_occ = forward_backward_consistency(fwd, bwd)
+                self.cache[key] = (np.asarray(bwd[0]), np.asarray(bwd_occ[0]))
+                if path:
+                    np.savez(path, flow=self.cache[key][0], occ=self.cache[key][1])
+        return self.cache[key]
 
 
 def _synthesize_chain(
@@ -198,13 +215,21 @@ def blend_video(
     flow_fn=None,
     patch_cfg: PatchMatchConfig = PatchMatchConfig(),
     seed: int = 0,
+    reuse_synthesis: bool = False,
+    keep_tmp: bool = True,
 ):
     """Reference video_blend.py main flow.  Reads base_dir/video/%04d.png
     and base_dir/<key_dir>/%04d.png, writes base_dir/blend/%04d.png and
-    optionally an mp4."""
+    optionally an mp4.
+
+    ``reuse_synthesis`` is the reference's ``-ne`` resume affordance
+    (video_blend.py:299-303): cached per-interval synthesis outputs and
+    flows in base_dir/tmp are loaded instead of recomputed."""
     video_dir = os.path.join(base_dir, "video")
     blend_dir = os.path.join(base_dir, "blend")
+    tmp_dir = os.path.join(base_dir, "tmp")
     os.makedirs(blend_dir, exist_ok=True)
+    os.makedirs(tmp_dir, exist_ok=True)
 
     read = lambda p: cv2.imread(p)  # BGR, matching reference cv2 use
     frames = {
@@ -222,7 +247,7 @@ def blend_video(
         )
         flow_fn = jax.jit(lambda a, b: model.apply(params, a, b))
 
-    fcache = _FlowCache(flow_fn, {})
+    fcache = _FlowCache(flow_fn, {}, tmp_dir)
     rng = jax.random.key(seed)
 
     t0 = time.time()
@@ -230,26 +255,41 @@ def blend_video(
         beg, end = key_ind[seq_i], key_ind[seq_i + 1]
         interval = end - beg
         seq_frames = [frames[i] for i in range(beg, end + 1)]
-
-        fwd_flows = [fcache.get(seq_frames, j) for j in range(interval)]
         rev_frames = seq_frames[::-1]
-        bwd_flows = []
-        for j in range(interval):
-            a = jnp.asarray(rev_frames[j], jnp.float32)[None]
-            b = jnp.asarray(rev_frames[j + 1], jnp.float32)[None]
-            flow = flow_fn(a, b)
-            _, occ = forward_backward_consistency(flow[0:1], flow[1:2])
-            bwd_flows.append((np.asarray(flow[1]), np.asarray(occ[0])))
 
-        # both directions advance in lockstep as one device batch
-        (fwd_out, fwd_err), (bwd_out, bwd_err) = _synthesize_chain_pair(
-            (keys[beg], keys[end]),
-            (seq_frames, rev_frames),
-            (fwd_flows, bwd_flows),
-            patch_cfg,
-            jax.random.fold_in(rng, seq_i),
-        )
-        bwd_out, bwd_err = bwd_out[::-1], bwd_err[::-1]
+        synth_cache = os.path.join(tmp_dir, f"synth_{beg}_{end}.npz")
+        if reuse_synthesis and os.path.exists(synth_cache):
+            z = np.load(synth_cache)
+            fwd_out = list(z["fwd_out"])
+            fwd_err = list(z["fwd_err"])
+            bwd_out = list(z["bwd_out"])
+            bwd_err = list(z["bwd_err"])
+            fwd_flows = [
+                fcache.get(seq_frames, j, tag=f"f{beg}_{j}") for j in range(interval)
+            ]
+        else:
+            fwd_flows = [
+                fcache.get(seq_frames, j, tag=f"f{beg}_{j}") for j in range(interval)
+            ]
+            bwd_flows = [
+                fcache.get(rev_frames, j, tag=f"b{end}_{j}") for j in range(interval)
+            ]
+
+            # both directions advance in lockstep as one device batch
+            (fwd_out, fwd_err), (bwd_out, bwd_err) = _synthesize_chain_pair(
+                (keys[beg], keys[end]),
+                (seq_frames, rev_frames),
+                (fwd_flows, bwd_flows),
+                patch_cfg,
+                jax.random.fold_in(rng, seq_i),
+            )
+            bwd_out, bwd_err = bwd_out[::-1], bwd_err[::-1]
+            if keep_tmp and fwd_out:
+                np.savez(
+                    synth_cache,
+                    fwd_out=np.stack(fwd_out), fwd_err=np.stack(fwd_err),
+                    bwd_out=np.stack(bwd_out), bwd_err=np.stack(bwd_err),
+                )
 
         # --- per-frame blending (video_blend.py:212-255) -----------------
         cv2.imwrite(os.path.join(blend_dir, "%04d.png" % beg), keys[beg])
@@ -313,11 +353,13 @@ def main(argv=None):
     p.add_argument("--key", type=str, default="keys")
     p.add_argument("--n_proc", type=int, default=8)
     p.add_argument("-ps", action="store_true")
-    p.add_argument("-ne", action="store_true")  # parity no-op (no cache yet)
-    p.add_argument("-tmp", action="store_true")
+    p.add_argument("-ne", action="store_true",
+                   help="reuse previous synthesis outputs (resume)")
+    p.add_argument("-tmp", action="store_true", help="keep tmp caches")
     a = p.parse_args(argv)
     blend_video(
-        a.name, a.key_ind, a.key, a.output, a.fps, a.n_proc, poisson=a.ps
+        a.name, a.key_ind, a.key, a.output, a.fps, a.n_proc, poisson=a.ps,
+        reuse_synthesis=a.ne, keep_tmp=True,
     )
 
 
