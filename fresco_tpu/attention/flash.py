@@ -39,29 +39,34 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr[:])
         acc_scr[:] = jnp.zeros_like(acc_scr[:])
 
-    q = q_ref[0].astype(jnp.float32)  # [bq, d]
-    k = k_ref[0].astype(jnp.float32)  # [bk, d]
-    v = v_ref[0].astype(jnp.float32)  # [bk, d]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
     mask = mask_ref[0, 0]  # [bk] bool
-    s = jnp.where(mask[None, :], s, NEG_INF)
 
-    m_prev = m_scr[:]  # [bq, 1]
-    l_prev = l_scr[:]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    p = jnp.where(mask[None, :], p, 0.0)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
-        p, v, preferred_element_type=jnp.float32
-    )
-    m_scr[:] = m_new
-    l_scr[:] = l_new
+    # fully-masked key blocks (compaction padding / truncated tails)
+    # contribute nothing — skip their matmuls entirely
+    @pl.when(jnp.any(mask))
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [bq, d]
+        k = k_ref[0].astype(jnp.float32)  # [bk, d]
+        v = v_ref[0].astype(jnp.float32)  # [bk, d]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bk]
+        s = jnp.where(mask[None, :], s, NEG_INF)
+
+        m_prev = m_scr[:]  # [bq, 1]
+        l_prev = l_scr[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask[None, :], p, 0.0)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_scr[:] = m_new
+        l_scr[:] = l_new
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():

@@ -43,6 +43,13 @@ class FrescoAttnParams:
 
     # cross-frame: key-validity masks per scale {hw: bool [F, hw]}
     cf_masks: Any = None
+    # valid-key compaction per scale {hw: (perm [K], mask [K])}: a static
+    # permutation that packs valid keys first (+ static cap K), so the
+    # flash kernel does O(valid) work instead of O(F*hw).  Exact
+    # reference semantics while n_valid <= K (attention is permutation-
+    # invariant over keys); beyond K the lowest-priority (latest-frame)
+    # valid keys are dropped.
+    cf_perms: Any = None
     # spatial-guided: per-fresco-layer reference hidden states, in the
     # order the UNet visits its FRESCO attention layers: tuple of [B, hw, C]
     ref_features: Any = None
@@ -88,26 +95,38 @@ def cross_frame_attention(
     key_mask: jnp.ndarray | None,
     chunk: int,
     heads: int,
+    key_perm: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Attend each frame's queries against all frames' keys, masked.
 
     q/k/v: [chunk*F, hw, C]; key_mask: [F, hw] bool or None (None ==
     attend only frame 0, the reference's maskless mode,
-    diffusion_hacked.py:236-237,243-244).
+    diffusion_hacked.py:236-237,243-244).  ``key_perm``: optional
+    (perm [K], mask [K]) compaction — keys gathered valid-first to a
+    static cap K << F*hw (most keys are invalid: frame 0 is fully valid,
+    frames i>0 contribute only occluded patches), cutting both the MXU
+    and HBM cost of the flash call by ~F/2x.
     """
     b, hw, c = q.shape
     f = b // chunk
     # All frames in a chunk share one key set, so fold the frame axis into
     # the query sequence instead of replicating K/V F times: one flash call
-    # with B=chunk, Sq=F*hw, Sk=F*hw.
+    # with B=chunk, Sq=F*hw, Sk=K (compacted) or F*hw.
     qq = q.reshape(chunk, f * hw, c)
     kk = k.reshape(chunk, f * hw, c)
     vv = v.reshape(chunk, f * hw, c)
-    if key_mask is None:
+    if key_perm is not None and key_mask is not None:
+        perm, mask = key_perm
+        kk = jnp.take(kk, perm, axis=1)
+        vv = jnp.take(vv, perm, axis=1)
+    elif key_mask is None:
         mask = jnp.zeros((f, hw), dtype=bool).at[0].set(True).reshape(-1)
+        kk = kk[:, :hw]
+        vv = vv[:, :hw]
+        mask = mask[:hw]
     else:
         mask = key_mask.reshape(-1)
-    mask_b = jnp.broadcast_to(mask[None], (chunk, f * hw))
+    mask_b = jnp.broadcast_to(mask[None], (chunk, mask.shape[0]))
     out = flash_attention(
         _split_heads(qq, heads), _split_heads(kk, heads), _split_heads(vv, heads),
         key_mask=mask_b,
@@ -152,36 +171,45 @@ def trajectory_attention(
 
     q_raw/k_raw: [chunk*F, hw, C] pre-attention projections;
     hidden: [chunk*F, hw, C] output of the main attention (its values);
-    fwd_map/bwd_map: int32 [F, hw]; traj_mask: bool [hw, F, F].
-    Mirrors diffusion_hacked.py:308-368.
+    fwd_map/bwd_map: int32 [F, hw] (per-frame pixel permutations);
+    traj_mask: bool [hw, F, F].  Mirrors diffusion_hacked.py:308-368.
+
+    TPU formulation: the per-pixel trajectory gather/scatter are one-hot
+    permutation MATMULS (exact — each row selects one value; generic
+    take_along_axis gathers with a [chunk,F,hw,C] index tensor measured
+    ~0.4 s/layer on v5e, the whole mechanism's former cost), and the
+    F x F attention runs as fused einsums batched over (chunk, hw, heads)
+    with no explicit transposes.
     """
     b, hw, c = q_raw.shape
     f = b // chunk
+    d = c // heads
 
-    def gather_traj(x):  # [chunk*F, hw, C] -> [chunk, F, hw, C] trajectory-aligned
-        xr = x.reshape(chunk, f, hw, c)
-        idx = fwd_map[None, :, :, None]
-        return jnp.take_along_axis(xr, jnp.broadcast_to(idx, xr.shape), axis=2)
+    iota = jnp.arange(hw, dtype=fwd_map.dtype)
+    p_fwd = (fwd_map[:, :, None] == iota[None, None, :])  # [F, hw_dst, hw_src]
+    p_bwd = (bwd_map[:, :, None] == iota[None, None, :])
 
-    qt = gather_traj(q_raw)
-    kt = gather_traj(k_raw)
-    vt = gather_traj(hidden)
+    def permute(x, p):  # [chunk, F, hw, C], one-hot [F, hw, hw]
+        return jnp.einsum(
+            "fij,cfjk->cfik", p.astype(x.dtype), x,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
 
-    # -> [chunk*hw, heads, F, d]: attention across the frame axis
-    def to_traj_tokens(x):
-        x = x.reshape(chunk, f, hw, heads, c // heads)
-        return x.transpose(0, 2, 3, 1, 4).reshape(chunk * hw, heads, f, c // heads)
+    def traj_heads(x):
+        xr = permute(x.reshape(chunk, f, hw, c), p_fwd)
+        return xr.reshape(chunk, f, hw, heads, d)
 
-    qh = to_traj_tokens(qt)
-    kh = to_traj_tokens(kt) * scale_factor
-    vh = to_traj_tokens(vt)
-    mask = jnp.tile(traj_mask[:, None], (chunk, 1, 1, 1))  # [chunk*hw, 1, F, F]
-    out = _sdpa(qh, kh, vh, mask=mask)  # [chunk*hw, heads, F, d]
+    qh = traj_heads(q_raw)
+    kh = traj_heads(k_raw) * scale_factor
+    vh = traj_heads(hidden)
 
-    out = out.reshape(chunk, hw, heads, f, c // heads).transpose(0, 3, 1, 2, 4)
-    out = out.reshape(chunk, f, hw, c)
-    idx = bwd_map[None, :, :, None]
-    out = jnp.take_along_axis(out, jnp.broadcast_to(idx, out.shape), axis=2)
+    s = jnp.einsum(
+        "cfphd,cgphd->cphfg", qh, kh, preferred_element_type=jnp.float32
+    ) * (d**-0.5)
+    s = jnp.where(traj_mask[None, :, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(vh.dtype)
+    o = jnp.einsum("cphfg,cgphd->cfphd", p, vh)
+    out = permute(o.reshape(chunk, f, hw, c), p_bwd)
     return out.reshape(b, hw, c)
 
 
@@ -229,7 +257,10 @@ def fresco_self_attention(
     #    cf_masks[hw] = mask -> masked union of all frames' valid keys
     if fresco.cf_masks is not None:
         cf_mask = fresco.cf_masks.get(hw)
-        hidden = cross_frame_attention(q, k, v, cf_mask, fresco.chunk, heads)
+        cf_perm = fresco.cf_perms.get(hw) if fresco.cf_perms is not None else None
+        hidden = cross_frame_attention(
+            q, k, v, cf_mask, fresco.chunk, heads, key_perm=cf_perm
+        )
     else:
         out = flash_attention(
             _split_heads(q, heads), _split_heads(k, heads), _split_heads(v, heads)

@@ -44,7 +44,7 @@ def main(argv=None):
         cap = cv2.VideoCapture(config.file_path)
         fps = int(cap.get(cv2.CAP_PROP_FPS))
         cap.release()
-        blend_video(
+        blend_dir = blend_video(
             config.save_path,
             key_ind=keys,
             key_dir="keys",
@@ -53,6 +53,20 @@ def main(argv=None):
             n_proc=config.max_process,
             poisson=True,
         )
+
+        # parity metrics (BASELINE.md): consistency of the translated clip
+        # vs the input clip, written next to the outputs
+        import json
+
+        report = {
+            "translated": pipe.evaluate_consistency(blend_dir),
+            "input": pipe.evaluate_consistency(
+                os.path.join(config.save_path, "video")
+            ),
+        }
+        with open(os.path.join(config.save_path, "metrics.json"), "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"[fresco_tpu] consistency metrics: {report}")
     print("Done")
 
 

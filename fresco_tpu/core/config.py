@@ -65,6 +65,7 @@ class FrescoConfig:
 
     # --- FRESCO mechanism knobs (reference magic numbers, now configurable) ---
     use_fresco_attn: bool = True
+    use_cfattn: bool = True     # cross-frame attention independently toggleable
     use_fresco_opt: bool = True
     intraattn_scale_factor: float = 0.2  # diffusion_hacked.py:41
     interattn_scale_factor: float = 0.2  # diffusion_hacked.py:42
@@ -77,6 +78,11 @@ class FrescoConfig:
     bg_smoothing_steps: tuple[int, ...] = (16, 17)  # pipe_FRESCO.py:87
     repeat_noise: bool = True
     photo_occ_thresh: float = 0.25       # diffusion_hacked.py:923 (×255)
+    # dtype for gram matmuls AND stored reference correlations (threaded
+    # into intraframe_params so "float32" gives strict end-to-end parity)
+    gram_dtype: str = "bfloat16"
+    # cross-frame attention valid-key compaction cap (xK of hw); 0 = dense
+    cf_key_cap: float = 2.0
 
     # --- TPU runtime ---
     dtype: str = "bfloat16"              # compute dtype for SD/ControlNet/VAE

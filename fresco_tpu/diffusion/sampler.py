@@ -50,7 +50,13 @@ class SamplerConfig:
     num_warmup_steps: int = 6
     guidance_scale: float = 7.5
     use_controlnet: bool = True
-    repeat_noise: bool = True
+    # The reference repeats only the INITIAL SDEdit noise across frames
+    # (run_fresco.py:245 passes repeat_noise=True to inference(), which
+    # tiles prepare_latents output); the per-step DDPM variance noise is
+    # drawn independently per frame (inference() calls step() with the
+    # default repeat_noise=False).  The two knobs are therefore split.
+    repeat_noise: bool = True        # initial SDEdit noise tiled over frames
+    repeat_step_noise: bool = False  # per-step variance noise tiled (non-reference)
     num_intraattn_steps: int = 1
     step_interattn_end: int = 350
     bg_smoothing_steps: tuple[int, ...] = (16, 17)
@@ -233,7 +239,7 @@ class FrescoSampler:
                 pred_x0 = jax.lax.cond(do_bg, smooth, lambda x: x, pred_x0)
 
             rng_t = jax.random.fold_in(rng_steps, idx)
-            if cfg.repeat_noise:
+            if cfg.repeat_step_noise:
                 var_noise = jnp.tile(
                     jax.random.normal(rng_t, (1, *latents.shape[1:]), jnp.float32),
                     (f, 1, 1, 1),

@@ -56,6 +56,19 @@ class _Builder:
         self.tree: dict = {}
         self.used: set[str] = set()
 
+    def check_all_used(self, ignore: tuple[str, ...] = ()):
+        """Raise if any checkpoint key was not consumed (strict mode:
+        catches silent key-mapping gaps in the converters)."""
+        left = [
+            k for k in self.sd
+            if k not in self.used and not any(s in k for s in ignore)
+        ]
+        if left:
+            raise ValueError(
+                f"{len(left)} checkpoint keys not consumed by the converter, "
+                f"e.g. {sorted(left)[:8]}"
+            )
+
     def _get(self, key: str):
         self.used.add(key)
         return self.sd[key]
@@ -151,7 +164,9 @@ def _convert_unet_encoder(b: _Builder, cfg: UNetConfig, prefix: str = ""):
     _convert_resnet(b, "mid_res_1", f"{prefix}mid_block.resnets.1")
 
 
-def convert_unet(sd: Mapping[str, Any], cfg: UNetConfig = UNetConfig()) -> dict:
+def convert_unet(
+    sd: Mapping[str, Any], cfg: UNetConfig = UNetConfig(), strict: bool = False
+) -> dict:
     """diffusers UNet2DConditionModel state dict -> flax params tree."""
     b = _Builder(sd)
     _convert_unet_encoder(b, cfg)
@@ -169,10 +184,14 @@ def convert_unet(sd: Mapping[str, Any], cfg: UNetConfig = UNetConfig()) -> dict:
             b.conv(f"up_{i}_upsample/conv", f"up_blocks.{i}.upsamplers.0.conv")
     b.norm("conv_norm_out", "conv_norm_out")
     b.conv("conv_out", "conv_out")
+    if strict:
+        b.check_all_used()
     return b.tree
 
 
-def convert_controlnet(sd: Mapping[str, Any], cfg: UNetConfig = UNetConfig()) -> dict:
+def convert_controlnet(
+    sd: Mapping[str, Any], cfg: UNetConfig = UNetConfig(), strict: bool = False
+) -> dict:
     """diffusers ControlNetModel state dict -> flax params tree."""
     b = _Builder(sd)
     _convert_unet_encoder(b, cfg)
@@ -180,7 +199,8 @@ def convert_controlnet(sd: Mapping[str, Any], cfg: UNetConfig = UNetConfig()) ->
     b.conv(f"{ce}/conv_in", f"{ce}.conv_in")
     i = 0
     while b.has(f"{ce}.blocks.{i}.weight"):
-        b.raw_conv(f"{ce}/blocks_{i}", f"{ce}.blocks.{i}")
+        # blocks use the Conv2d wrapper (params under blocks_i/Conv_0/)
+        b.conv(f"{ce}/blocks_{i}", f"{ce}.blocks.{i}")
         i += 1
     b.raw_conv(f"{ce}/conv_out", f"{ce}.conv_out")
     i = 0
@@ -188,10 +208,14 @@ def convert_controlnet(sd: Mapping[str, Any], cfg: UNetConfig = UNetConfig()) ->
         b.dense(f"controlnet_down_blocks_{i}", f"controlnet_down_blocks.{i}", from_conv1x1=True)
         i += 1
     b.dense("controlnet_mid_block", "controlnet_mid_block", from_conv1x1=True)
+    if strict:
+        b.check_all_used()
     return b.tree
 
 
-def convert_vae(sd: Mapping[str, Any], cfg: VAEConfig = VAEConfig()) -> dict:
+def convert_vae(
+    sd: Mapping[str, Any], cfg: VAEConfig = VAEConfig(), strict: bool = False
+) -> dict:
     """diffusers AutoencoderKL state dict -> flax params tree."""
     b = _Builder(sd)
 
@@ -233,6 +257,8 @@ def convert_vae(sd: Mapping[str, Any], cfg: VAEConfig = VAEConfig()) -> dict:
         b.conv(f"{side}/conv_out", f"{side}.conv_out")
     b.dense("quant_conv", "quant_conv", from_conv1x1=True)
     b.dense("post_quant_conv", "post_quant_conv", from_conv1x1=True)
+    if strict:
+        b.check_all_used()
     return b.tree
 
 

@@ -30,7 +30,9 @@ from fresco_tpu.ops.resize import resize_bilinear
 
 
 class StdConv(nn.Module):
-    """Weight-standardized conv (BiT); eps 1e-8 like timm StdConv2d."""
+    """Weight-standardized conv (BiT); eps 1e-6 = timm StdConv2d default
+    (timm standardizes via batch_norm over the flattened kernel with
+    biased variance, reproduced here)."""
 
     features: int
     kernel: int
@@ -47,7 +49,7 @@ class StdConv(nn.Module):
         )
         mean = jnp.mean(k, axis=(0, 1, 2), keepdims=True)
         var = jnp.var(k, axis=(0, 1, 2), keepdims=True)
-        k = (k - mean) * jax.lax.rsqrt(var + 1e-8)
+        k = (k - mean) * jax.lax.rsqrt(var + 1e-6)
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad)] * 2
@@ -184,6 +186,8 @@ class DPTHybridDepth(nn.Module):
     hooks: tuple[int, int] = (8, 11)
     features: int = 256
     grid_size_train: int = 24  # 384/16, the checkpoint's pos-embed grid
+    stem_widths: tuple[int, ...] = (256, 512, 1024)
+    stem_depths: tuple[int, ...] = (3, 4, 9)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -194,7 +198,9 @@ class DPTHybridDepth(nn.Module):
         b, H, W, _ = x.shape
         gh, gw = H // 16, W // 16
 
-        s0, s1, s2 = ResNetV2Stem(name="backbone")(x)
+        s0, s1, s2 = ResNetV2Stem(
+            self.stem_widths, self.stem_depths, name="backbone"
+        )(x)
 
         tokens = nn.Conv(
             self.vit_dim, (1, 1), name="patch_proj"
@@ -270,7 +276,7 @@ class DPTHybridDepth(nn.Module):
         return h[..., 0]
 
 
-def convert_dpt_hybrid(sd) -> dict:
+def convert_dpt_hybrid(sd, stem_depths=(3, 4, 9), vit_depth=12) -> dict:
     """dpt_hybrid-midas checkpoint (timm layout) -> flax params."""
     from fresco_tpu.models.convert import _Builder, _np, _set
 
@@ -290,7 +296,7 @@ def convert_dpt_hybrid(sd) -> dict:
     bb = f"{p}patch_embed.backbone."
     stdconv("backbone/stem_conv", f"{bb}stem.conv")
     gn("backbone/stem_norm", f"{bb}stem.norm")
-    for si, depth in enumerate((3, 4, 9)):
+    for si, depth in enumerate(stem_depths):
         for bi in range(depth):
             s = f"{bb}stages.{si}.blocks.{bi}"
             d = f"backbone/stage{si}_block{bi}"
@@ -303,7 +309,7 @@ def convert_dpt_hybrid(sd) -> dict:
     b.raw_conv("patch_proj", f"{p}patch_embed.proj")
     t["cls_token"] = _np(b.sd[f"{p}cls_token"])
     t["pos_embed"] = _np(b.sd[f"{p}pos_embed"])
-    for i in range(12):
+    for i in range(vit_depth):
         s = f"{p}blocks.{i}"
         d = f"block_{i}"
         for ln in ("norm1", "norm2"):

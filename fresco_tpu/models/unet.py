@@ -105,7 +105,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.inner * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact (erf) gelu: diffusers GEGLU uses F.gelu, not the tanh approx
+        return h * nn.gelu(gate, approximate=False)
 
 
 class CrossAttention(nn.Module):

@@ -1,0 +1,71 @@
+"""Real-program sharded smoke: the FULL FRESCO sampler on a device mesh.
+
+Runs the actual ``FrescoPipeline`` batch path (parameter prep + the
+scanned sampler with cross-frame + spatial + trajectory attention,
+feature optimization, background smoothing, record/restore — reference
+src/pipe_FRESCO.py:80-233) on tiny models, optionally over a
+(data × model) mesh, so sharded execution can be asserted numerically
+equal to the single-device program.  Used by
+``__graft_entry__.dryrun_multichip`` and tests/test_parallel.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def run_full_sampler(
+    mesh_shape: tuple[int, int] = (1, 1),
+    *,
+    frames: int = 4,
+    res: int = 64,
+    steps: int = 4,
+    seed: int = 0,
+) -> np.ndarray:
+    """Translate one synthetic batch through the real pipeline.
+
+    Returns the final latents as numpy.  All FRESCO mechanisms are
+    enabled: saliency is stubbed (no EGNet weights offline) so that the
+    background-smoothing VAE round-trip runs inside the scan too.
+    """
+    from fresco_tpu.core.config import FrescoConfig
+    from fresco_tpu.pipeline.runner import FrescoPipeline
+
+    config = FrescoConfig(
+        mesh_shape=mesh_shape,
+        resolution=res,
+        batch_size=frames,
+        num_inference_steps=steps,
+        num_warmup_steps=1,
+        end_opt_step=max(steps - 1, 1),
+        bg_smoothing_steps=(steps - 2,),
+        opt_iters=2,
+        use_saliency=True,
+        dtype="float32",  # deterministic across shardings for the equality check
+        prompt="a smoke test",
+    )
+    pipe = FrescoPipeline(config, tiny=True)
+    # stub saliency so warp_and_fuse background smoothing is exercised
+    pipe.bundle.saliency_fn = lambda imgs: jnp.full(
+        (imgs.shape[0], res // 8, res // 8, 1), 0.5, jnp.float32
+    )
+
+    rng = np.random.default_rng(seed)
+    imgs = rng.integers(0, 255, (frames, res, res, 3)).astype(np.uint8)
+    prompts = ["a smoke test"] * frames
+    nprompts = ["bad"] * frames
+
+    jrng = jax.random.key(seed)
+    latents, record = pipe._translate_batch(
+        list(imgs), prompts, nprompts, None, False, jrng
+    )
+    # second batch in propagation mode: exercises the record/restore path
+    # (pipe_FRESCO.py:175-179) under the same mesh
+    latents2, _ = pipe._translate_batch(
+        list(imgs), prompts, nprompts, record, True, jrng
+    )
+    out = np.concatenate([np.asarray(latents), np.asarray(latents2)])
+    assert np.all(np.isfinite(out)), "sampler produced non-finite latents"
+    return out

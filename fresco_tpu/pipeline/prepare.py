@@ -118,27 +118,17 @@ def intraframe_params(
         return_up_features=True, mutable=["intermediates"],
     )
 
-    # gram matrices (diffusion_hacked.py:888-894).  Stored in corr_dtype
-    # (default bf16): the stage-3 gram is [2F, 4096, 4096] — the largest
-    # resident buffer of a batch (1.07 GB fp32 at 512px/8 frames).
-    # Computed in row chunks so no fp32 [B, hw, hw] intermediate exists.
+    # reference correlations (diffusion_hacked.py:888-894), stored
+    # FACTORED: the normalized features v̂ [2F, hw, C] in corr_dtype
+    # instead of the dense gram v̂v̂ᵀ [2F, hw, hw].  Exact (the loss
+    # reconstructs gram chunks on the MXU, guidance._corr_chunk) and 13x
+    # smaller at 512px stage 3 (40 MB vs 537 MB resident).
     correlations = {}
     for stage, feat in enumerate(up_features):
         b, h, w, c = feat.shape
-        hw = h * w
-        v = feat.astype(jnp.float32).reshape(b, hw, c)
+        v = feat.astype(jnp.float32).reshape(b, h * w, c)
         v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
-        chunk = min(hw, 1024)
-
-        def row_chunk(row0, v=v):
-            vc = jax.lax.dynamic_slice_in_dim(v, row0, chunk, axis=1)
-            g = jnp.einsum(
-                "bic,bjc->bij", vc, v, preferred_element_type=jnp.float32
-            )
-            return g.astype(corr_dtype)
-
-        parts = [row_chunk(i * chunk) for i in range(hw // chunk)]
-        correlations[stage] = jnp.concatenate(parts, axis=1)
+        correlations[stage] = v.astype(corr_dtype)
 
     # stored attention inputs, ordered by module path == visit order
     inter = state["intermediates"]
@@ -164,9 +154,26 @@ def build_attn_params(
     chunk: int = 2,
     intra_scale: float = 0.2,
     inter_scale: float = 0.2,
+    cf_key_cap: float = 2.0,
 ) -> FrescoAttnParams:
+    """Assemble the attention pytree; with ``cf_key_cap`` > 0 also build
+    per-scale valid-key compactions: a stable argsort packs valid keys
+    first (frame-major order preserved) and the key axis is truncated to
+    K = cf_key_cap*hw — exact reference attention while n_valid <= K,
+    at ~F/cf_key_cap x less flash work.  cf_key_cap=0 keeps the dense
+    masked path (strict mode)."""
+    cf_perms = None
+    if cf_masks is not None and cf_key_cap and cf_key_cap > 0:
+        cf_perms = {}
+        for hw, mask in cf_masks.items():
+            f = mask.shape[0]
+            flat = mask.reshape(-1)
+            k_cap = int(min(cf_key_cap * hw, f * hw))
+            perm = jnp.argsort(~flat, stable=True)[:k_cap]
+            cf_perms[hw] = (perm, jnp.take(flat, perm))
     return FrescoAttnParams(
         cf_masks=cf_masks,
+        cf_perms=cf_perms,
         ref_features=ref_features,
         trajectories=trajectories,
         intra_scale=intra_scale,

@@ -37,6 +37,7 @@ from fresco_tpu.ops.image import resize_image, uint8_to_unit_range, unit_range_t
 from fresco_tpu.pipeline import prepare
 from fresco_tpu.pipeline.keyframes import select_keyframes
 from fresco_tpu.pipeline.text import encode_prompts, make_tokenizer
+from fresco_tpu.utils.profiling import phase_timer
 
 try:
     import cv2
@@ -114,6 +115,8 @@ def build_models(
 
     if load_weights and not tiny:
         params = _maybe_load_pretrained(params, config, ucfg, vcfg, ccfg)
+    if load_weights:
+        params = _maybe_apply_lora(params, config)
 
     tokenizer = make_tokenizer(
         config.sd_path if os.path.isdir(str(config.sd_path)) else None,
@@ -159,6 +162,28 @@ def _build_detector(config: FrescoConfig, tiny: bool):
             params = {"params": convert_dpt_hybrid(C.load_torch_state_dict(dpt_path))}
             return lambda img: midas_detector(model, params, img)[0]
         print("[fresco_tpu] MiDaS weights not found; falling back to canny")
+    if ctype == "mlsd" and not tiny:
+        mlsd_path = os.path.join(ckpt_dir, "mlsd_large_512_fp32.pth")
+        if os.path.exists(mlsd_path):
+            from fresco_tpu.models import convert as C
+            from fresco_tpu.models.mlsd import MLSDLarge, convert_mlsd, mlsd_detector
+
+            model = MLSDLarge()
+            params = {"params": convert_mlsd(C.load_torch_state_dict(mlsd_path))}
+            return lambda img: mlsd_detector(model, params, img)
+        print("[fresco_tpu] MLSD weights not found; falling back to canny")
+    if ctype in ("openpose", "pose") and not tiny:
+        pose_path = os.path.join(ckpt_dir, "body_pose_model.pth")
+        if os.path.exists(pose_path):
+            from fresco_tpu.models import convert as C
+            from fresco_tpu.models.openpose import (
+                BodyPose, convert_openpose, openpose_detector,
+            )
+
+            model = BodyPose()
+            params = {"params": convert_openpose(C.load_torch_state_dict(pose_path))}
+            return lambda img: openpose_detector(model, params, img)
+        print("[fresco_tpu] OpenPose weights not found; falling back to canny")
     return _canny_detector
 
 
@@ -217,6 +242,29 @@ def _maybe_load_pretrained(params, config, ucfg, vcfg, ccfg):
         sd = C.load_torch_state_dict(config.gmflow_path)
         params["gmflow"] = {"params": convert_gmflow(sd)}
         print(f"[fresco_tpu] loaded gmflow weights from {config.gmflow_path}")
+
+    return params
+
+
+def _maybe_apply_lora(params, config):
+    """LoRA merge (reference WebUI community-base path, webUI.py:429-434):
+    deltas folded into the UNet / text-encoder kernels at load time."""
+    if not config.lora_path or not os.path.exists(str(config.lora_path)):
+        return params
+    from fresco_tpu.models import convert as C
+    from fresco_tpu.models.lora import merge_lora
+
+    lora_sd = C.load_torch_state_dict(str(config.lora_path))
+    params["unet"], n_unet = merge_lora(
+        params["unet"], lora_sd, config.lora_scale, target="lora_unet_"
+    )
+    params["text"], n_text = merge_lora(
+        params["text"], lora_sd, config.lora_scale, target="lora_te_"
+    )
+    print(
+        f"[fresco_tpu] merged LoRA {config.lora_path} "
+        f"(scale={config.lora_scale}): {n_unet} unet + {n_text} text modules"
+    )
     return params
 
 
@@ -230,10 +278,23 @@ class FrescoPipeline:
         b = self.bundle
         self.sampler = FrescoSampler(b.unet, b.vae, b.controlnet, b.scheduler)
 
+        # --- mesh execution (SURVEY.md §2.6): frames shard over 'data',
+        # params over 'model' (Megatron TP).  GSPMD inserts the
+        # cross-frame/trajectory all-gathers from these shardings alone.
+        self.mesh = None
+        if int(np.prod(config.mesh_shape)) > 1:
+            from fresco_tpu.parallel.sharding import make_mesh, shard_model_params
+
+            self.mesh = make_mesh(*config.mesh_shape)
+            b.params = jax.device_put(
+                b.params, shard_model_params(b.params, self.mesh)
+            )
+
         gcfg = GuidanceConfig(
             iters=config.opt_iters, lr=config.opt_lr,
             intra_weight=config.intra_weight,
             optimize_temporal=config.optimize_temporal,
+            gram_dtype=config.gram_dtype,
         )
         self._base_sampler_cfg = SamplerConfig(
             num_inference_steps=config.num_inference_steps,
@@ -256,6 +317,10 @@ class FrescoPipeline:
         self._intraframe_jit = jax.jit(self._intraframe)
         self._decode_jit = jax.jit(self.sampler.decode)
 
+        from fresco_tpu.utils.profiling import PhaseTimes
+
+        self.phases = PhaseTimes()
+
     # --- jittable param-prep wrappers -------------------------------------
     def _interframe(self, params, frames_255):
         flow_fn = lambda a, b: self.bundle.gmflow.apply(params["gmflow"], a, b)
@@ -264,9 +329,14 @@ class FrescoPipeline:
         )
 
     def _intraframe(self, params, frames, prompt_embeds, rng):
+        # reference grams stored in the same dtype the loss computes in,
+        # so gram_dtype="float32" is strict parity end-to-end
+        corr_dtype = (
+            jnp.bfloat16 if self.config.gram_dtype == "bfloat16" else jnp.float32
+        )
         return prepare.intraframe_params(
             self.bundle.unet, self.bundle.vae, params, self.bundle.scheduler,
-            frames, prompt_embeds, rng,
+            frames, prompt_embeds, rng, corr_dtype=corr_dtype,
         )
 
     # --- host-side orchestration -------------------------------------------
@@ -330,7 +400,10 @@ class FrescoPipeline:
 
             check_finite(f"batch{batch_ind}_latents", latents[0])
             record = latents[1]
-            images = unit_range_to_uint8(self._decode_jit(b.params, latents[0]))
+            with phase_timer(self.phases, "vae_decode"):
+                images = unit_range_to_uint8(
+                    self._decode_jit(b.params, latents[0])
+                )
             bias = 2 if propagation else 0
             for ind, num in enumerate(sub):
                 Image.fromarray(images[ind + bias]).save(
@@ -343,43 +416,90 @@ class FrescoPipeline:
                     f"[fresco_tpu] batch {batch_ind+1}/{len(sublists)}: "
                     f"{len(sub)} keyframes in {time.time()-t0:.1f}s"
                 )
+        if verbose:
+            print("[fresco_tpu] " + self.phases.report())
         return keys
+
+    def evaluate_consistency(self, frame_dir: str, max_frames: int = 16) -> dict:
+        """Temporal-consistency report for a frame directory
+        (BASELINE.md acceptance metrics: flow-warp error under GMFlow +
+        frame similarity).  Called by the CLI after propagation and by
+        the e2e tests as a regression bound."""
+        from fresco_tpu import metrics
+
+        files = sorted(
+            f for f in os.listdir(frame_dir) if f.endswith((".png", ".jpg"))
+        )[:max_frames]
+        if len(files) < 2:
+            return {}
+        frames = np.stack(
+            [
+                cv2.cvtColor(cv2.imread(os.path.join(frame_dir, f)),
+                             cv2.COLOR_BGR2RGB)
+                for f in files
+            ]
+        )
+        b = self.bundle
+        flow_fn = jax.jit(
+            lambda a, bb: b.gmflow.apply(b.params["gmflow"], a, bb)
+        )
+        return metrics.evaluate_translation(frames, flow_fn)
+
+    def _shard_batch(self, x):
+        """Place a frame-major array on the mesh: leading axis over 'data'
+        when divisible, replicated otherwise (ragged last batches)."""
+        if self.mesh is None or not hasattr(x, "ndim"):
+            return x
+        from fresco_tpu.parallel.sharding import frame_sharding, replicated
+
+        if x.ndim >= 1 and x.shape[0] % self.mesh.shape["data"] == 0:
+            return jax.device_put(x, frame_sharding(self.mesh, x.ndim))
+        return jax.device_put(x, replicated(self.mesh))
 
     def _translate_batch(self, imgs, prompts, n_prompts, record, propagation, rng):
         cfg = self.config
         b = self.bundle
-        frames_255 = jnp.asarray(np.stack(imgs), jnp.float32)
-        frames_unit = uint8_to_unit_range(np.stack(imgs))
-
-        prompt_embeds = encode_prompts(
-            b.text_encoder, b.params["text"], b.tokenizer, prompts, n_prompts
+        frames_255 = self._shard_batch(jnp.asarray(np.stack(imgs), jnp.float32))
+        frames_unit = self._shard_batch(
+            jnp.asarray(uint8_to_unit_range(np.stack(imgs)))
         )
+
+        with phase_timer(self.phases, "encode_prompts"):
+            prompt_embeds = self._shard_batch(encode_prompts(
+                b.text_encoder, b.params["text"], b.tokenizer, prompts, n_prompts
+            ))
 
         # control signal (run_fresco.py:199-202)
-        edges_np = np.stack([b.detector(im) for im in imgs])
+        with phase_timer(self.phases, "control_detector"):
+            edges_np = np.stack([b.detector(im) for im in imgs])
         if edges_np.ndim == 3:
             edges_np = edges_np[..., None]
-        edges = jnp.asarray(
+        edges = self._shard_batch(jnp.asarray(
             np.repeat(edges_np, 3, axis=-1).astype(np.float32) / 255.0
-        )
+        ))
 
         fresco_state = FrescoState()
         attn = None
         if cfg.use_fresco_attn or cfg.use_fresco_opt or cfg.use_saliency:
-            flows, occs, cf_masks, trajectories = self._interframe_jit(
-                b.params, frames_255
-            )
+            with phase_timer(self.phases, "interframe_prep"):
+                flows, occs, cf_masks, trajectories = self._interframe_jit(
+                    b.params, frames_255
+                )
             saliency = None
             if cfg.use_saliency and b.saliency_fn is not None:
-                saliency = b.saliency_fn(np.stack(imgs))
-            ref_feats, correlations = self._intraframe_jit(
-                b.params, frames_unit, prompt_embeds, rng
-            )
+                with phase_timer(self.phases, "saliency"):
+                    saliency = self._shard_batch(b.saliency_fn(np.stack(imgs)))
+            with phase_timer(self.phases, "intraframe_prep"):
+                ref_feats, correlations = self._intraframe_jit(
+                    b.params, frames_unit, prompt_embeds, rng
+                )
             if cfg.use_fresco_attn:
                 attn = prepare.build_attn_params(
-                    cf_masks, ref_feats, trajectories,
+                    cf_masks if cfg.use_cfattn else None,
+                    ref_feats, trajectories,
                     intra_scale=cfg.intraattn_scale_factor,
                     inter_scale=cfg.interattn_scale_factor,
+                    cf_key_cap=cfg.cf_key_cap,
                 )
             fresco_state = FrescoState(
                 attn=attn,
@@ -393,8 +513,9 @@ class FrescoPipeline:
             self._base_sampler_cfg, propagation_mode=propagation
         )
         cond_scale = jnp.full((cfg.num_inference_steps,), cfg.cond_scale)
-        latents, record_out = self._sample_jit(
-            b.params, frames_unit, prompt_embeds, edges, cond_scale,
-            fresco_state, record, rng, sampler_cfg,
-        )
+        with phase_timer(self.phases, "denoise_loop"):
+            latents, record_out = self._sample_jit(
+                b.params, frames_unit, prompt_embeds, edges, cond_scale,
+                fresco_state, record, rng, sampler_cfg,
+            )
         return latents, record_out

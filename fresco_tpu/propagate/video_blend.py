@@ -32,11 +32,7 @@ from fresco_tpu.propagate.guides import (
     warp_nearest,
 )
 from fresco_tpu.propagate.histogram import histogram_blend
-from fresco_tpu.propagate.patchmatch import (
-    PatchMatchConfig,
-    synthesize,
-    synthesize_batch,
-)
+from fresco_tpu.propagate.patchmatch import PatchMatchConfig, synthesize_batch
 from fresco_tpu.propagate.poisson import poisson_fusion
 
 try:
@@ -90,64 +86,18 @@ class _FlowCache:
         return self.cache[key]
 
 
-def _synthesize_chain(
-    key_img: np.ndarray,
-    frames: list[np.ndarray],
-    flows: list[tuple[np.ndarray, np.ndarray]],
-    cfg: PatchMatchConfig,
-    rng,
-):
-    """Propagate ``key_img`` (stylized frames[0]) along the chain.
-
-    frames: interval+1 input frames (position 0 is the keyframe's input);
-    flows[j] = (bwd_flow, bwd_occ) for pair (j -> j+1).
-    Returns (outputs, errors) for positions 1..interval.
-    """
-    h, w = frames[0].shape[:2]
-    pos_guides = positional_chain(h, w, [f for f, _ in flows], [o for _, o in flows])
-    edge_src = edge_guide(frames[0])
-
-    src_guides = np.concatenate(
-        [frames[0], edge_src, key_img, pos_guides[0]], axis=-1
-    ).astype(np.float32)
-    wpc = [
-        np.full(3, GUIDE_WEIGHTS["color"] / 3),
-        np.full(3, GUIDE_WEIGHTS["edge"] / 3),
-        np.full(3, GUIDE_WEIGHTS["temporal"] / 3),
-        np.full(3, GUIDE_WEIGHTS["positional"] / 3),
-    ]
-    weights = jnp.asarray(np.concatenate(wpc), jnp.float32)
-
-    outputs, errors = [], []
-    prev_stylized = key_img
-    for j in range(1, len(frames)):
-        bwd_flow, bwd_occ = flows[j - 1]
-        temporal = inpaint_occluded(
-            warp_nearest(prev_stylized, bwd_flow).astype(np.uint8), bwd_occ
-        )
-        tgt_guides = np.concatenate(
-            [frames[j], edge_guide(frames[j]), temporal, pos_guides[j]], axis=-1
-        ).astype(np.float32)
-        out, err, _ = synthesize(
-            jnp.asarray(key_img, jnp.float32),
-            jnp.asarray(src_guides),
-            jnp.asarray(tgt_guides),
-            weights,
-            cfg,
-            rng=jax.random.fold_in(rng, j),
-        )
-        out_np = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
-        outputs.append(out_np)
-        errors.append(np.asarray(err))
-        prev_stylized = out_np
-    return outputs, errors
-
-
 def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng):
     """Advance the forward and backward chains of one interval in
     lockstep, synthesizing both directions per position as one batched
     device call (synthesize_batch, B=2) — replaces the reference's
-    per-direction subprocess fan-out (video_blend.py:67-106)."""
+    per-direction subprocess fan-out (video_blend.py:67-106).
+
+    Each chain synthesizes positions 1..interval-1 only: the forward
+    chain's last position would be the ``end`` keyframe and the backward
+    chain's last would be ``beg`` — neither is ever blended (the blend
+    loop writes c_id = beg+1..end-1), so they are skipped entirely
+    (the reference likewise never synthesizes the far keyframe:
+    video_sequence.py:64-89 sequences exclude it)."""
     outs = ([], [])
     errs = ([], [])
     prev_stylized = [key_imgs[0], key_imgs[1]]
@@ -177,7 +127,7 @@ def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng):
     src_guides = jnp.asarray(np.stack(src_stacks))
 
     interval = len(frames_pair[0]) - 1
-    for j in range(1, interval + 1):
+    for j in range(1, interval):
         tgt_stacks = []
         for d in range(2):
             frames, flows = frames_pair[d], flows_pair[d]
@@ -265,14 +215,17 @@ def blend_video(
             bwd_out = list(z["bwd_out"])
             bwd_err = list(z["bwd_err"])
             fwd_flows = [
-                fcache.get(seq_frames, j, tag=f"f{beg}_{j}") for j in range(interval)
+                fcache.get(seq_frames, j, tag=f"f{beg}_{j}")
+                for j in range(max(interval - 1, 0))
             ]
         else:
             fwd_flows = [
-                fcache.get(seq_frames, j, tag=f"f{beg}_{j}") for j in range(interval)
+                fcache.get(seq_frames, j, tag=f"f{beg}_{j}")
+                for j in range(max(interval - 1, 0))
             ]
             bwd_flows = [
-                fcache.get(rev_frames, j, tag=f"b{end}_{j}") for j in range(interval)
+                fcache.get(rev_frames, j, tag=f"b{end}_{j}")
+                for j in range(max(interval - 1, 0))
             ]
 
             # both directions advance in lockstep as one device batch
@@ -296,6 +249,12 @@ def blend_video(
         p_mask = None
         for i in range(interval - 1):
             c_id = beg + i + 1
+            # Both chains hold positions 1..interval-1, so after the
+            # reversal fwd_out[i] and bwd_out[i] BOTH depict frame c_id
+            # (the reference reshuffles obs so ob=obs[i+1] is frame c_id,
+            # video_blend.py:186,218; its dist2 load predates that
+            # reshuffle and reads frame end-i-1's error — we use the
+            # error map that matches the candidate).
             oa, ob = fwd_out[i], bwd_out[i]
             dist1, dist2 = fwd_err[i], bwd_err[i]
             weight1 = i / (interval - 1) if interval > 1 else 0.5

@@ -27,6 +27,8 @@ class GlobalState:
     pipeline: object | None = None
     sd_path: str | None = None
     controlnet_type: str | None = None
+    lora_path: str | None = None
+    lora_scale: float | None = None
 
     def get_pipeline(self, config: FrescoConfig, tiny: bool = False):
         from fresco_tpu.pipeline.runner import FrescoPipeline
@@ -35,11 +37,15 @@ class GlobalState:
             self.pipeline is None
             or self.sd_path != config.sd_path
             or self.controlnet_type != config.controlnet_type
+            or self.lora_path != config.lora_path
+            or self.lora_scale != config.lora_scale
         )
         if rebuild:
             self.pipeline = FrescoPipeline(config, tiny=tiny)
             self.sd_path = config.sd_path
             self.controlnet_type = config.controlnet_type
+            self.lora_path = config.lora_path
+            self.lora_scale = config.lora_scale
         else:
             self.pipeline.config = config
         self.config = config
@@ -53,7 +59,7 @@ def ui_to_config(
     file_path, prompt, sd_path, seed, resolution, cond_scale, controlnet_type,
     x0_strength, num_inference_steps, batch_size, mininterv, maxinterv,
     use_controlnet, use_cfattn, use_intraattn, use_interattn, use_optflow,
-    use_saliency, use_freeu, save_path,
+    use_saliency, use_freeu, save_path, lora_path="", lora_scale=1.0,
 ) -> FrescoConfig:
     """UI controls -> typed config (reference webUI.py:115-146 inverse).
 
@@ -76,11 +82,14 @@ def ui_to_config(
         maxinterv=int(maxinterv),
         use_controlnet=bool(use_controlnet),
         use_fresco_attn=bool(use_cfattn or use_intraattn or use_interattn),
+        use_cfattn=bool(use_cfattn),
         num_intraattn_steps=1 if use_intraattn else 0,
         step_interattn_end=350 if use_interattn else 1001,
         use_fresco_opt=bool(use_optflow),
         use_saliency=bool(use_saliency),
         use_freeu=bool(use_freeu),
+        lora_path=str(lora_path) or None,
+        lora_scale=float(lora_scale),
     )
 
 
@@ -145,6 +154,11 @@ def launch(tiny: bool = False, **launch_kwargs):
                 ["hed", "canny", "depth"], label="ControlNet", value="hed"
             )
         with gr.Row():
+            lora_path = gr.Textbox(
+                label="LoRA checkpoint (kohya .safetensors, optional)", value=""
+            )
+            lora_scale = gr.Slider(0.0, 2.0, value=1.0, label="LoRA scale")
+        with gr.Row():
             seed = gr.Number(label="Seed", value=0, precision=0)
             resolution = gr.Slider(256, 768, value=512, step=64, label="Resolution")
             cond_scale = gr.Slider(0.0, 2.0, value=0.7, label="ControlNet scale")
@@ -174,6 +188,7 @@ def launch(tiny: bool = False, **launch_kwargs):
             controlnet_type, x0_strength, num_steps, batch_size, mininterv,
             maxinterv, use_controlnet, use_cfattn, use_intraattn,
             use_interattn, use_optflow, use_saliency, use_freeu, save_path,
+            lora_path, lora_scale,
         ]
 
         def _run_keys(*args):

@@ -60,3 +60,18 @@ def test_blend_video_end_to_end(tmp_path, rng):
     ).mean()
     assert diff_style < diff_input, (diff_style, diff_input)
     assert (tmp_path / "blend.mp4").exists()
+
+    # consistency metrics as a regression bound (BASELINE.md acceptance
+    # metrics, wired the same way the CLI reports them after propagation)
+    from fresco_tpu.metrics import evaluate_translation
+
+    blended = np.stack(
+        [cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB) for f in frames]
+    )
+    report = evaluate_translation(blended, flow_fn)
+    assert np.isfinite(report["warp_error"])
+    assert np.isfinite(report["frame_similarity"])
+    # blended output frames must stay strongly self-similar frame to frame;
+    # a candidate-indexing regression (ghosting) drags this down
+    assert report["frame_similarity"] > 0.5, report
+    assert report["warp_error"] < 100.0, report

@@ -63,3 +63,28 @@ def test_flash_bf16(rng):
     )
     ref = np.asarray(naive_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
     np.testing.assert_allclose(out, ref, atol=0.05, rtol=0.05)
+
+
+def test_cross_frame_compaction_matches_dense(rng):
+    """Valid-key compaction (sorted perm + static cap) must equal the
+    dense masked cross-frame path exactly when n_valid <= cap."""
+    from fresco_tpu.attention.fresco_attention import cross_frame_attention
+
+    f, hw, c, heads, chunk = 4, 64, 32, 4, 2
+    q = jnp.asarray(rng.standard_normal((chunk * f, hw, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((chunk * f, hw, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((chunk * f, hw, c)), jnp.float32)
+    mask = np.zeros((f, hw), dtype=bool)
+    mask[0] = True
+    mask[1:] = rng.uniform(size=(f - 1, hw)) < 0.2
+    mask = jnp.asarray(mask)
+
+    dense = cross_frame_attention(q, k, v, mask, chunk, heads)
+
+    cap = 2 * hw
+    flat = mask.reshape(-1)
+    perm = jnp.argsort(~flat, stable=True)[:cap]
+    comp = cross_frame_attention(
+        q, k, v, mask, chunk, heads, key_perm=(perm, jnp.take(flat, perm))
+    )
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(dense), atol=1e-5)

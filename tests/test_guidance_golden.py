@@ -62,3 +62,53 @@ def test_optimize_feature_matches_reference():
     ref = ref.permute(0, 2, 3, 1).numpy()
 
     np.testing.assert_allclose(ours, ref, atol=5e-3, rtol=5e-3)
+
+
+def test_spatial_loss_factored_matches_dense(rng):
+    """Factored reference correlations (normalized features) must give the
+    same loss AND gradient as the dense gram (fp32)."""
+    import jax
+
+    from fresco_tpu.diffusion.guidance import spatial_loss
+
+    b, h, w, c = 2, 8, 8, 16  # hw=64 != C=16 -> factored detectable
+    cs = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    vr = rng.standard_normal((b, h * w, c)).astype(np.float32)
+    vr /= np.linalg.norm(vr, axis=2, keepdims=True)
+    dense = jnp.asarray(np.einsum("bic,bjc->bij", vr, vr))
+
+    f_dense = lambda x: spatial_loss(x, dense, jnp.float32)
+    f_fact = lambda x: spatial_loss(x, jnp.asarray(vr), jnp.float32)
+    np.testing.assert_allclose(
+        float(f_dense(cs)), float(f_fact(cs)), rtol=1e-5
+    )
+    gd = np.asarray(jax.grad(f_dense)(cs))
+    gf = np.asarray(jax.grad(f_fact)(cs))
+    np.testing.assert_allclose(gd, gf, atol=1e-5, rtol=1e-4)
+
+
+def test_spatial_loss_analytic_grad_matches_autodiff(rng):
+    """The custom-vjp analytic gradient equals plain autodiff of the
+    unchunked loss (fp32, chunked over 2 row blocks)."""
+    import jax
+
+    from fresco_tpu.diffusion.guidance import spatial_loss
+
+    b, h, w, c = 2, 4, 8, 16  # hw=32, chunk to 16-row blocks
+    cs = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    vr = rng.standard_normal((b, h * w, c)).astype(np.float32)
+    vr /= np.linalg.norm(vr, axis=2, keepdims=True)
+    dense = jnp.asarray(np.einsum("bic,bjc->bij", vr, vr))
+
+    def naive(x):
+        v = x.reshape(b, h * w, c)
+        v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
+        g = jnp.einsum("bic,bjc->bij", v, v)
+        return jnp.mean(jnp.abs(g - dense))
+
+    ours = lambda x: spatial_loss(x, dense, jnp.float32, chunk_rows=16)
+    np.testing.assert_allclose(float(ours(cs)), float(naive(cs)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(ours)(cs)), np.asarray(jax.grad(naive)(cs)),
+        atol=1e-5, rtol=1e-4,
+    )

@@ -42,6 +42,45 @@ def test_lora_merge_applies_delta(rng):
 
 
 @pytest.mark.slow
+def test_lora_path_in_config_changes_unet_params(tmp_path, rng):
+    """Pipeline-level wiring: a kohya checkpoint at config.lora_path must
+    change the loaded UNet parameters (reference WebUI community-base
+    path, webUI.py:429-434)."""
+    torch = pytest.importorskip("torch")
+    from fresco_tpu.core.config import FrescoConfig
+    from fresco_tpu.pipeline.runner import build_models
+
+    base = build_models(FrescoConfig(), tiny=True, seed=0)
+    k_before = np.asarray(
+        base.params["unet"]["params"]["up_1_attn_0"]["block"]["attn1"]["to_q"][
+            "kernel"
+        ]
+    ).copy()
+
+    c = k_before.shape[0]
+    r = 2
+    mod = "lora_unet_up_blocks_1_attentions_0_transformer_blocks_0_attn1_to_q"
+    lora = {
+        f"{mod}.lora_down.weight": torch.randn(r, c),
+        f"{mod}.lora_up.weight": torch.randn(c, r),
+        f"{mod}.alpha": torch.tensor(float(r)),
+    }
+    path = tmp_path / "lora.pth"
+    torch.save(lora, str(path))
+
+    cfg = FrescoConfig(lora_path=str(path), lora_scale=0.7)
+    merged = build_models(cfg, tiny=True, seed=0)
+    k_after = np.asarray(
+        merged.params["unet"]["params"]["up_1_attn_0"]["block"]["attn1"]["to_q"][
+            "kernel"
+        ]
+    )
+    delta = (lora[f"{mod}.lora_up.weight"].numpy()
+             @ lora[f"{mod}.lora_down.weight"].numpy()).T * 0.7
+    np.testing.assert_allclose(k_after, k_before + delta, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_sampler_record_restore_roundtrip(rng):
     """Propagation mode must pin the two anchor frames to the recorded
     latents of the previous batch (pipe_FRESCO.py:175-179 semantics)."""

@@ -59,6 +59,18 @@ def test_sharded_forward_matches_unsharded(tiny_unet, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
+def test_full_sampler_sharded_matches_single():
+    """The REAL program under the mesh: FrescoPipeline._translate_batch
+    (all FRESCO mechanisms + record/restore) with mesh_shape=(2,1) equals
+    the single-device run (VERDICT r1 item 1)."""
+    from fresco_tpu.parallel.smoke import run_full_sampler
+
+    single = run_full_sampler((1, 1), frames=4)
+    sharded = run_full_sampler((2, 1), frames=4)
+    np.testing.assert_allclose(sharded, single, atol=1e-3, rtol=1e-3)
+
+
 def test_distributed_train_step_runs(tiny_unet, rng):
     import optax
 
