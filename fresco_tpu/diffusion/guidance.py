@@ -38,6 +38,11 @@ class GuidanceConfig:
     intra_weight: float = 1e2
     optimize_temporal: bool = True
     chunk: int = 2
+    # temporal-loss warp implementation: "sparse" = exact 4-tap bilinear
+    # gather with a sorted-segment-sum backward (O(hw) memory/FLOPs);
+    # "dense" = [F, hw, hw] warp-matrix matmuls (the round-2 form; ~1000x
+    # more FLOPs at 512px stage 3 and 537 MB of in-scan matrices)
+    warp_mode: str = "sparse"
     # dtype of the gram-matrix matmuls (the FLOPs hot spot: [B, hw, hw]
     # per decoder stage per Adam iter).  bf16 inputs + fp32 accumulation
     # runs ~4-8x faster on the MXU than full fp32 with negligible effect
@@ -79,6 +84,89 @@ def warp_matrix(flow: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     return wmat
 
 
+def warp_taps(flow: jnp.ndarray):
+    """Bilinear backward-warp as explicit 4-tap structure.
+
+    flow [F, h, w, 2] -> (src [F, hw, 4] int32 source-pixel ids,
+    wt [F, hw, 4] float32 weights, zeroed out of bounds) — the same
+    zeros-padding semantics as ``warp_matrix`` without materializing the
+    [F, hw, hw] matrix."""
+    f, h, w, _ = flow.shape
+    hw = h * w
+    grid = coords_grid(h, w, flow.dtype)[None] + flow
+    x, y = grid[..., 0].reshape(f, hw), grid[..., 1].reshape(f, hw)
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    srcs, wts = [], []
+    for yi, xi, wt in (
+        (y0, x0, (x0 + 1 - x) * (y0 + 1 - y)),
+        (y0, x0 + 1, (x - x0) * (y0 + 1 - y)),
+        (y0 + 1, x0, (x0 + 1 - x) * (y - y0)),
+        (y0 + 1, x0 + 1, (x - x0) * (y - y0)),
+    ):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        srcs.append(
+            jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
+            + jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        )
+        wts.append((wt * inb.astype(flow.dtype)).astype(jnp.float32))
+    return jnp.stack(srcs, axis=-1), jnp.stack(wts, axis=-1)
+
+
+def make_sparse_warp(flow: jnp.ndarray):
+    """Build the (forward taps + source-sorted transpose) structure the
+    scatter-free backward needs.  Returns a tuple pytree consumed by
+    ``apply_sparse_warp``."""
+    src, wt = warp_taps(flow)
+    f, hw, t = src.shape
+    key = src.reshape(f, hw * t)
+    order = jnp.argsort(key, axis=1)
+    src_sorted = jnp.take_along_axis(key, order, axis=1)
+    out_sorted = (order // t).astype(jnp.int32)  # entry e=(p, tap): p = e // t
+    wt_sorted = jnp.take_along_axis(wt.reshape(f, hw * t), order, axis=1)
+    return (src, wt, src_sorted, out_sorted, wt_sorted)
+
+
+@jax.custom_vjp
+def apply_sparse_warp(x, src, wt, src_s, out_s, wt_s):
+    """y[f, p, :] = Σ_t wt[f, p, t] · x[f, src[f, p, t], :].
+
+    Exactly ``warp_matrix(flow) @ x`` but O(4·hw) work instead of
+    O(hw²): the forward is 4 row gathers, the backward a gather +
+    sorted ``segment_sum`` over the pre-sorted transpose structure (no
+    scatter-add, no [F, hw, hw] matrices resident in the scan)."""
+    return _sparse_warp_fwd_impl(x, src, wt)
+
+
+def _sparse_warp_fwd_impl(x, src, wt):
+    f, hw, d = x.shape
+    t = src.shape[-1]
+    idx = jnp.arange(f, dtype=jnp.int32)[:, None, None] * hw + src  # [F,hw,4]
+    g = jnp.take(x.reshape(f * hw, d), idx.reshape(-1), axis=0)
+    g = g.reshape(f, hw, t, d)
+    return jnp.sum(wt[..., None].astype(x.dtype) * g, axis=2)
+
+
+def _sparse_warp_fwd(x, src, wt, src_s, out_s, wt_s):
+    return _sparse_warp_fwd_impl(x, src, wt), (x, src, wt, src_s, out_s, wt_s)
+
+
+def _sparse_warp_bwd(res, ct):
+    x, src, wt, src_s, out_s, wt_s = res
+    f, hw, d = x.shape
+    gidx = jnp.arange(f, dtype=jnp.int32)[:, None] * hw + out_s  # [F, hw·t]
+    rows = jnp.take(ct.reshape(f * hw, d), gidx.reshape(-1), axis=0)
+    rows = rows * wt_s.reshape(-1, 1).astype(ct.dtype)
+    seg = (jnp.arange(f, dtype=jnp.int32)[:, None] * hw + src_s).reshape(-1)
+    dx = jax.ops.segment_sum(
+        rows, seg, num_segments=f * hw, indices_are_sorted=True
+    )
+    zeros = tuple(jnp.zeros_like(a) for a in (src, wt, src_s, out_s, wt_s))
+    return (dx.reshape(f, hw, d).astype(x.dtype), *zeros)
+
+
+apply_sparse_warp.defvjp(_sparse_warp_fwd, _sparse_warp_bwd)
+
+
 def temporal_loss(
     cs: jnp.ndarray,
     fwd_warp: jnp.ndarray,
@@ -89,8 +177,9 @@ def temporal_loss(
 ) -> jnp.ndarray:
     """Bidirectional warp-consistency L1 (diffusion_hacked.py:461-466).
 
-    cs: [chunk*F, h, w, C]; fwd_warp/bwd_warp: [F, hw, hw] warp matrices
-    (see warp_matrix) at feature resolution; occs [F, h, w, 1].
+    cs: [chunk*F, h, w, C]; fwd_warp/bwd_warp: either [F, hw, hw] warp
+    matrices (see warp_matrix) or sparse-warp tuples (make_sparse_warp)
+    at feature resolution; occs [F, h, w, 1].
     """
     b, h, w, c = cs.shape
     f = b // chunk
@@ -98,9 +187,13 @@ def temporal_loss(
     c1 = cs.reshape(chunk, f, hw, c)
     c2 = jnp.roll(c1, -1, axis=1)
 
-    def warp(x, wmat):
+    def warp(x, wop):
+        if isinstance(wop, tuple):  # sparse 4-tap warp: fold (k, c) -> d
+            xd = x.transpose(1, 2, 0, 3).reshape(f, hw, chunk * c)
+            y = apply_sparse_warp(xd, *wop)
+            return y.reshape(f, hw, chunk, c).transpose(2, 0, 1, 3)
         return jnp.einsum(
-            "fij,kfjc->kfic", wmat, x.astype(wmat.dtype),
+            "fij,kfjc->kfic", wop, x.astype(wop.dtype),
             preferred_element_type=jnp.float32,
         )
 
@@ -161,8 +254,10 @@ def _gram_l1_fwd(v_hat, correlation, gram_dtype, chunk_rows):
     return _gram_l1(v_hat, correlation, gram_dtype, chunk_rows), (v_hat, correlation)
 
 
-def _gram_l1_bwd(gram_dtype, chunk_rows, res, ct):
-    v_hat, correlation = res
+def _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows):
+    """∂/∂v̂ of mean |v̂v̂ᵀ − C| = (S + Sᵀ)v̂ / N with S = sign(G − C),
+    computed in row chunks.  Shared by the custom-vjp backward and the
+    grad-only Adam path (which never materializes the loss value)."""
     b, hw, c = v_hat.shape
     vg = v_hat.astype(gram_dtype)
     grad = jnp.zeros((b, hw, c), jnp.float32)
@@ -186,11 +281,22 @@ def _gram_l1_bwd(gram_dtype, chunk_rows, res, ct):
         grad = grad + jnp.einsum(
             "bij,bic->bjc", s, vc, preferred_element_type=jnp.float32
         )
-    grad = grad * (ct / (b * hw * hw))
+    return grad / (b * hw * hw)
+
+
+def _gram_l1_bwd(gram_dtype, chunk_rows, res, ct):
+    v_hat, correlation = res
+    grad = _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows) * ct
     return grad.astype(v_hat.dtype), jnp.zeros_like(correlation)
 
 
 _gram_l1.defvjp(_gram_l1_fwd, _gram_l1_bwd)
+
+
+def _normalize_rows(cs: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = cs.shape
+    v = cs.reshape(b, h * w, c)
+    return v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
 
 
 def spatial_loss(
@@ -203,11 +309,25 @@ def spatial_loss(
     (diffusion_hacked.py:469-476).  correlation: dense [B, hw, hw] or
     factored normalized reference features [B, hw, C] (see _corr_chunk).
     """
-    b, h, w, c = cs.shape
-    hw = h * w
-    v = cs.reshape(b, hw, c)
-    v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
-    return _gram_l1(v, correlation, gram_dtype, min(chunk_rows, hw))
+    v = _normalize_rows(cs)
+    return _gram_l1(v, correlation, gram_dtype, min(chunk_rows, v.shape[1]))
+
+
+def spatial_grad(
+    cs: jnp.ndarray,
+    correlation: jnp.ndarray,
+    gram_dtype=jnp.bfloat16,
+    chunk_rows: int = 1024,
+) -> jnp.ndarray:
+    """∂ spatial_loss/∂cs WITHOUT evaluating the loss.  The Adam loop
+    only consumes gradients, but ``jax.grad(loss)`` still executes the
+    custom-vjp forward — a second full pass over the gram chunks whose
+    scalar result is discarded.  This grad-only path halves the gram
+    matmuls per optimization iter (they dominate feature-opt FLOPs,
+    PERF.md)."""
+    v, vjp = jax.vjp(_normalize_rows, cs)
+    gv = _gram_l1_grad(v, correlation, gram_dtype, min(chunk_rows, v.shape[1]))
+    return vjp(gv.astype(v.dtype))[0]
 
 
 def optimize_feature(
@@ -240,29 +360,36 @@ def optimize_feature(
         fwd_flow_s, fwd_occ_s = prepare_flow_for_scale(
             fwd_flow, fwd_occ, (h, w), dilate_full_res=False
         )
-        # warp matrices built once per call, reused by all Adam iters
-        fwd_warp = warp_matrix(fwd_flow_s, gram_dtype)
-        bwd_warp = warp_matrix(bwd_flow_s, gram_dtype)
+        # warp structure built once per call, reused by all Adam iters
+        if cfg.warp_mode == "sparse":
+            fwd_warp = make_sparse_warp(fwd_flow_s)
+            bwd_warp = make_sparse_warp(bwd_flow_s)
+        else:
+            fwd_warp = warp_matrix(fwd_flow_s, gram_dtype)
+            bwd_warp = warp_matrix(bwd_flow_s, gram_dtype)
 
     x0 = sample.astype(jnp.float32)
 
-    def loss_fn(cs):
-        loss = 0.0
+    def grad_fn(cs):
+        # gradient-only: the loop never reads the loss value, so the
+        # spatial term uses the analytic grad path (one gram pass, not
+        # the fwd+bwd two of jax.grad through the custom vjp)
+        g = jnp.zeros_like(cs)
         if do_temporal:
-            loss = loss + temporal_loss(
-                cs, fwd_warp, bwd_warp, fwd_occ_s, bwd_occ_s, cfg.chunk
-            )
+            g = g + jax.grad(
+                lambda x: temporal_loss(
+                    x, fwd_warp, bwd_warp, fwd_occ_s, bwd_occ_s, cfg.chunk
+                )
+            )(cs)
         if do_spatial:
-            loss = loss + cfg.intra_weight * spatial_loss(
-                cs, correlation, gram_dtype
-            )
-        return loss
+            g = g + cfg.intra_weight * spatial_grad(cs, correlation, gram_dtype)
+        return g
 
     tx = optax.adam(cfg.lr)  # torch Adam defaults: b1=.9, b2=.999, eps=1e-8
 
     def step(carry, _):
         cs, opt_state = carry
-        g = jax.grad(loss_fn)(cs)
+        g = grad_fn(cs)
         updates, opt_state = tx.update(g, opt_state, cs)
         return (optax.apply_updates(cs, updates), opt_state), None
 

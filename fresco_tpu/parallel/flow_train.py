@@ -29,6 +29,40 @@ def epe_loss(pred: jnp.ndarray, gt: jnp.ndarray, valid: jnp.ndarray | None = Non
     return jnp.sum(epe * valid) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
+def flow_sequence_loss(
+    flow_preds: list[jnp.ndarray] | jnp.ndarray,
+    gt: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    gamma: float = 0.9,
+    max_flow: float = 400.0,
+):
+    """Reference training objective (gmflow loss.py:4-38): gamma-weighted
+    L1 over the prediction sequence, pixels masked by validity AND
+    gt-magnitude < max_flow.  Returns (loss, metrics dict with epe and
+    >1/3/5px rates on the final prediction)."""
+    if not isinstance(flow_preds, (list, tuple)):
+        flow_preds = [flow_preds]
+    mag = jnp.sqrt(jnp.sum(gt**2, axis=-1))
+    v = (mag < max_flow)
+    if valid is not None:
+        v = v & (valid >= 0.5)
+    vf = v.astype(jnp.float32)[..., None]
+    n = len(flow_preds)
+    loss = 0.0
+    for i, p in enumerate(flow_preds):
+        w = gamma ** (n - i - 1)
+        loss = loss + w * jnp.mean(vf * jnp.abs(p - gt))
+    epe = jnp.sqrt(jnp.sum((flow_preds[-1] - gt) ** 2, axis=-1))
+    denom = jnp.maximum(jnp.sum(vf[..., 0]), 1.0)
+    metrics = {
+        "epe": jnp.sum(epe * vf[..., 0]) / denom,
+        "1px": jnp.sum((epe > 1) * vf[..., 0]) / denom,
+        "3px": jnp.sum((epe > 3) * vf[..., 0]) / denom,
+        "5px": jnp.sum((epe > 5) * vf[..., 0]) / denom,
+    }
+    return loss, metrics
+
+
 def photometric_smoothness_loss(
     img0: jnp.ndarray,
     img1: jnp.ndarray,
@@ -76,7 +110,8 @@ def flow_train_step(
         b = img0.shape[0]
         fwd = flow_bidir[:b]
         if gt_flow is not None:
-            return epe_loss(fwd, gt_flow, valid)
+            loss, _ = flow_sequence_loss(fwd, gt_flow, valid)
+            return loss
         return photometric_smoothness_loss(img0 / 255.0, img1 / 255.0, fwd)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)

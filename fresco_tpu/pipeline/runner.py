@@ -320,6 +320,10 @@ class FrescoPipeline:
         from fresco_tpu.utils.profiling import PhaseTimes
 
         self.phases = PhaseTimes()
+        # block on each phase's outputs so phase times are real device
+        # times instead of async-dispatch times (costs one host sync per
+        # phase — off by default, enabled by the profiling benchmarks)
+        self.sync_phases = False
 
     # --- jittable param-prep wrappers -------------------------------------
     def _interframe(self, params, frames_255):
@@ -459,15 +463,16 @@ class FrescoPipeline:
     def _translate_batch(self, imgs, prompts, n_prompts, record, propagation, rng):
         cfg = self.config
         b = self.bundle
+        sync = jax.block_until_ready if self.sync_phases else (lambda x: x)
         frames_255 = self._shard_batch(jnp.asarray(np.stack(imgs), jnp.float32))
         frames_unit = self._shard_batch(
             jnp.asarray(uint8_to_unit_range(np.stack(imgs)))
         )
 
         with phase_timer(self.phases, "encode_prompts"):
-            prompt_embeds = self._shard_batch(encode_prompts(
+            prompt_embeds = sync(self._shard_batch(encode_prompts(
                 b.text_encoder, b.params["text"], b.tokenizer, prompts, n_prompts
-            ))
+            )))
 
         # control signal (run_fresco.py:199-202)
         with phase_timer(self.phases, "control_detector"):
@@ -482,17 +487,17 @@ class FrescoPipeline:
         attn = None
         if cfg.use_fresco_attn or cfg.use_fresco_opt or cfg.use_saliency:
             with phase_timer(self.phases, "interframe_prep"):
-                flows, occs, cf_masks, trajectories = self._interframe_jit(
+                flows, occs, cf_masks, trajectories = sync(self._interframe_jit(
                     b.params, frames_255
-                )
+                ))
             saliency = None
             if cfg.use_saliency and b.saliency_fn is not None:
                 with phase_timer(self.phases, "saliency"):
-                    saliency = self._shard_batch(b.saliency_fn(np.stack(imgs)))
+                    saliency = sync(self._shard_batch(b.saliency_fn(np.stack(imgs))))
             with phase_timer(self.phases, "intraframe_prep"):
-                ref_feats, correlations = self._intraframe_jit(
+                ref_feats, correlations = sync(self._intraframe_jit(
                     b.params, frames_unit, prompt_embeds, rng
-                )
+                ))
             if cfg.use_fresco_attn:
                 attn = prepare.build_attn_params(
                     cf_masks if cfg.use_cfattn else None,
@@ -514,8 +519,8 @@ class FrescoPipeline:
         )
         cond_scale = jnp.full((cfg.num_inference_steps,), cfg.cond_scale)
         with phase_timer(self.phases, "denoise_loop"):
-            latents, record_out = self._sample_jit(
+            latents, record_out = sync(self._sample_jit(
                 b.params, frames_unit, prompt_embeds, edges, cond_scale,
                 fresco_state, record, rng, sampler_cfg,
-            )
+            ))
         return latents, record_out

@@ -80,7 +80,14 @@ def encode_prompts(
     negative_prompts: Sequence[str],
     clip_skip: int = 0,
 ) -> jnp.ndarray:
-    """Returns [2F, 77, C] embeddings, uncond first (reference CFG layout)."""
-    ids = tokenizer(list(negative_prompts) + list(prompts))
+    """Returns [2F, 77, C] embeddings, uncond first (reference CFG layout).
+
+    Keyframe batches usually repeat one prompt F times — only unique
+    prompts hit the encoder; rows are gathered back afterwards (the
+    reference encodes all 2F copies, run_fresco.py:190-196)."""
+    texts = list(negative_prompts) + list(prompts)
+    uniq = list(dict.fromkeys(texts))
+    ids = tokenizer(uniq)
     emb = text_encoder.apply(text_params, jnp.asarray(ids), clip_skip=clip_skip)
-    return emb
+    index = {t: i for i, t in enumerate(uniq)}
+    return jnp.take(emb, jnp.asarray([index[t] for t in texts]), axis=0)

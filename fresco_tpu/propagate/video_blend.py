@@ -284,6 +284,45 @@ def blend_video(
     return blend_dir
 
 
+def video_to_frames(
+    video_path: str,
+    frame_dir: str,
+    filename_pattern: str = "%04d.png",
+    frame_edit_func=None,
+) -> int:
+    """Decode a video to numbered frames on disk; returns frame count
+    (equivalent of reference src/ebsynth/src/video_util.py:8-32)."""
+    os.makedirs(frame_dir, exist_ok=True)
+    cap = cv2.VideoCapture(video_path)
+    count = 0
+    while True:
+        ok, img = cap.read()
+        if not ok:
+            break
+        if frame_edit_func is not None:
+            img = frame_edit_func(img)
+        cv2.imwrite(os.path.join(frame_dir, filename_pattern % count), img)
+        count += 1
+    cap.release()
+    return count
+
+
+def get_fps(video_path: str) -> float:
+    """Container frame rate (reference video_util.py:59-64)."""
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS)
+    cap.release()
+    return fps
+
+
+def get_frame_count(video_path: str) -> int:
+    """Container frame count (reference video_util.py:67-73)."""
+    cap = cv2.VideoCapture(video_path)
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    return n
+
+
 def frames_to_video(frame_dir: str, output: str, fps: float):
     """Equivalent of reference src/ebsynth/src/video_util.py:35-56."""
     files = sorted(

@@ -55,6 +55,7 @@ def main():
     pipe = FrescoPipeline(cfg, tiny=False)
     print(f"[full] models built in {time.perf_counter()-t0:.0f}s",
           file=sys.stderr, flush=True)
+    pipe.sync_phases = True  # real per-phase device times
     # synthetic saliency (EGNet weights unavailable offline)
     pipe.bundle.saliency_fn = lambda imgs: jnp.full(
         (imgs.shape[0], imgs.shape[1] // 2, imgs.shape[2] // 2, 1), 0.5
@@ -78,12 +79,14 @@ def main():
     print(f"[full] first batch (compile+run): {t_first:.0f}s",
           file=sys.stderr, flush=True)
 
+    pipe.phases = type(pipe.phases)()  # reset: report run-2 (steady state) only
     t0 = time.perf_counter()
     latents, record = pipe._translate_batch(
         imgs, prompts, nprompts, None, False, key
     )
     _ = np.asarray(latents[0, 0, 0, 0])
     dt = time.perf_counter() - t0
+    print("[full] " + pipe.phases.report(), file=sys.stderr, flush=True)
 
     print(
         json.dumps(

@@ -112,3 +112,87 @@ def test_spatial_loss_analytic_grad_matches_autodiff(rng):
         np.asarray(jax.grad(ours)(cs)), np.asarray(jax.grad(naive)(cs)),
         atol=1e-5, rtol=1e-4,
     )
+
+
+def test_sparse_warp_matches_dense(rng):
+    """4-tap sparse warp (fwd + custom backward) == dense warp-matrix
+    matmul, values and gradients."""
+    import jax
+
+    from fresco_tpu.diffusion.guidance import (
+        apply_sparse_warp, make_sparse_warp, warp_matrix,
+    )
+
+    f, h, w, d = 3, 6, 7, 5
+    flow = jnp.asarray(rng.standard_normal((f, h, w, 2)) * 2.5, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((f, h * w, d)), jnp.float32)
+
+    dense = warp_matrix(flow, jnp.float32)
+    y_dense = jnp.einsum("fij,fjd->fid", dense, x)
+    sw = make_sparse_warp(flow)
+    y_sparse = apply_sparse_warp(x, *sw)
+    np.testing.assert_allclose(
+        np.asarray(y_sparse), np.asarray(y_dense), atol=1e-5, rtol=1e-5
+    )
+
+    ct = jnp.asarray(rng.standard_normal(y_dense.shape), jnp.float32)
+    g_dense = jax.grad(lambda a: jnp.sum(jnp.einsum("fij,fjd->fid", dense, a) * ct))(x)
+    g_sparse = jax.grad(lambda a: jnp.sum(apply_sparse_warp(a, *sw) * ct))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_sparse), np.asarray(g_dense), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_temporal_loss_sparse_matches_dense(rng):
+    import jax
+
+    from fresco_tpu.diffusion.guidance import (
+        make_sparse_warp, temporal_loss, warp_matrix,
+    )
+
+    chunk, f, h, w, c = 2, 3, 4, 5, 6
+    cs = jnp.asarray(rng.standard_normal((chunk * f, h, w, c)), jnp.float32)
+    fwd_flow = jnp.asarray(rng.standard_normal((f, h, w, 2)), jnp.float32)
+    bwd_flow = jnp.asarray(rng.standard_normal((f, h, w, 2)), jnp.float32)
+    fwd_occ = jnp.zeros((f, h, w, 1))
+    bwd_occ = jnp.zeros((f, h, w, 1))
+
+    dense = lambda x: temporal_loss(
+        x, warp_matrix(fwd_flow, jnp.float32), warp_matrix(bwd_flow, jnp.float32),
+        fwd_occ, bwd_occ, chunk,
+    )
+    sparse = lambda x: temporal_loss(
+        x, make_sparse_warp(fwd_flow), make_sparse_warp(bwd_flow),
+        fwd_occ, bwd_occ, chunk,
+    )
+    np.testing.assert_allclose(float(sparse(cs)), float(dense(cs)), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(sparse)(cs)), np.asarray(jax.grad(dense)(cs)),
+        atol=1e-5, rtol=1e-4,
+    )
+
+
+def test_spatial_grad_only_path_matches(rng):
+    """The grad-only Adam path (spatial_grad: one gram pass, no loss
+    value) must equal jax.grad(spatial_loss) exactly."""
+    import jax
+
+    from fresco_tpu.diffusion.guidance import spatial_grad, spatial_loss
+
+    b, h, w, c = 2, 4, 8, 16
+    cs = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    vr = rng.standard_normal((b, h * w, c)).astype(np.float32)
+    vr /= np.linalg.norm(vr, axis=2, keepdims=True)
+    dense = jnp.asarray(np.einsum("bic,bjc->bij", vr, vr))
+
+    g_auto = jax.grad(lambda x: spatial_loss(x, dense, jnp.float32,
+                                             chunk_rows=16))(cs)
+    g_only = spatial_grad(cs, dense, jnp.float32, chunk_rows=16)
+    np.testing.assert_allclose(
+        np.asarray(g_only), np.asarray(g_auto), atol=1e-6, rtol=1e-5
+    )
+    # factored correlation form too
+    g_only_f = spatial_grad(cs, jnp.asarray(vr), jnp.float32, chunk_rows=16)
+    np.testing.assert_allclose(
+        np.asarray(g_only_f), np.asarray(g_auto), atol=1e-5, rtol=1e-4
+    )
