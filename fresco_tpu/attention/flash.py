@@ -29,7 +29,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, num_k_blocks
+    q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *, num_k_blocks
 ):
     ki = pl.program_id(2)
 
@@ -45,13 +45,18 @@ def _flash_kernel(
     # contribute nothing — skip their matmuls entirely
     @pl.when(jnp.any(mask))
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # [bq, d]
-        k = k_ref[0].astype(jnp.float32)  # [bk, d]
-        v = v_ref[0].astype(jnp.float32)  # [bk, d]
+        # inputs stay in their storage dtype (bf16 on the serving path):
+        # the MXU runs bf16 matmuls at 4x the f32 rate; accumulation is
+        # f32 via preferred_element_type, softmax stats are f32
+        q = q_ref[0]  # [bq, d]
+        k = k_ref[0]  # [bk, d]
+        v = v_ref[0]  # [bk, d]
 
+        # q arrives pre-scaled (see _flash_forward) — saves one VPU pass
+        # over the [bq, bk] logits, which bound this kernel at small d
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, bk]
+        )  # [bq, bk] f32
         s = jnp.where(mask[None, :], s, NEG_INF)
 
         m_prev = m_scr[:]  # [bq, 1]
@@ -59,11 +64,12 @@ def _flash_kernel(
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
+        # masked lanes hold NEG_INF: exp(NEG_INF - m) underflows to exactly
+        # 0, so no second mask pass is needed
         p = jnp.exp(s - m_new)
-        p = jnp.where(mask[None, :], p, 0.0)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         m_scr[:] = m_new
         l_scr[:] = l_new
@@ -80,9 +86,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
-def _flash_padded(q, k, v, key_mask, *, scale, block_q, block_k, interpret):
+def _flash_padded(q, k, v, key_mask, *, block_q, block_k, interpret):
     bh, sq, d = q.shape
     sk = k.shape[1]
     nq = sq // block_q
@@ -90,7 +96,7 @@ def _flash_padded(q, k, v, key_mask, *, scale, block_q, block_k, interpret):
 
     grid = (bh, nq, nk)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, num_k_blocks=nk),
+        functools.partial(_flash_kernel, num_k_blocks=nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
@@ -202,6 +208,7 @@ def _flash_forward(
     sk_p = _round_up(sk, block_k)
     d_p = _round_up(d, 128)
 
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # pre-scale (kernel skips it)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
@@ -214,7 +221,7 @@ def _flash_forward(
 
     out = _flash_padded(
         qp, kp, vp, maskp,
-        scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
+        block_q=block_q, block_k=block_k, interpret=interpret,
     )
     out = out.reshape(b, h, sq_p, d_p)[:, :, :sq, :d]
     return out

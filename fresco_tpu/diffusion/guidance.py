@@ -38,11 +38,15 @@ class GuidanceConfig:
     intra_weight: float = 1e2
     optimize_temporal: bool = True
     chunk: int = 2
-    # temporal-loss warp implementation: "sparse" = exact 4-tap bilinear
-    # gather with a sorted-segment-sum backward (O(hw) memory/FLOPs);
-    # "dense" = [F, hw, hw] warp-matrix matmuls (the round-2 form; ~1000x
-    # more FLOPs at 512px stage 3 and 537 MB of in-scan matrices)
-    warp_mode: str = "sparse"
+    # temporal-loss warp implementation.  "dense" = [F, hw, hw] warp-
+    # matrix matmuls: ~1000x more FLOPs than the 4-tap structure but MXU
+    # FLOPs are cheap and measured FASTER on the v5e (15.2s vs 32.4s
+    # denoise loop at 512px/8 frames) — XLA TPU lowers the sparse path's
+    # row gathers + segment_sum to scalar-ish loops.  "sparse" = exact
+    # 4-tap bilinear gather with a sorted-segment-sum backward; O(hw)
+    # work and no big matrices — the right mode off-TPU (CPU tests) or
+    # if XLA's TPU gather emitter improves.
+    warp_mode: str = "dense"
     # dtype of the gram-matrix matmuls (the FLOPs hot spot: [B, hw, hw]
     # per decoder stage per Adam iter).  bf16 inputs + fp32 accumulation
     # runs ~4-8x faster on the MXU than full fp32 with negligible effect
@@ -54,34 +58,28 @@ def warp_matrix(flow: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """Bilinear backward-warp as a sparse-in-dense matrix.
 
     flow [F, h, w, 2] -> W [F, hw, hw] with W[f, p, q] = bilinear weight
-    of source pixel q for output pixel p (zeros padding).  Built with 4
-    scatter-adds; ``W @ x`` then equals ``flow_warp(x, flow)`` and — the
-    point — its autodiff backward is ``Wᵀ @ g``, a matmul instead of the
-    scatter-add a gather-based warp costs on TPU (measured ~11 ms/iter
-    inside the feature-optimization Adam loop at 512px stage 3)."""
-    f, h, w, _ = flow.shape
-    hw = h * w
-    grid = coords_grid(h, w, flow.dtype)[None] + flow
-    x, y = grid[..., 0].reshape(f, hw), grid[..., 1].reshape(f, hw)
-    x0, y0 = jnp.floor(x), jnp.floor(y)
-    bidx = jnp.broadcast_to(jnp.arange(f)[:, None], (f, hw))
-    out_idx = jnp.broadcast_to(jnp.arange(hw)[None], (f, hw))
+    of source pixel q for output pixel p (zeros padding).  ``W @ x``
+    equals ``flow_warp(x, flow)`` and its autodiff backward is
+    ``Wᵀ @ g`` — a matmul instead of a TPU scatter-add.
+
+    Built from the 4-tap structure by VECTORIZED one-hot comparison:
+    TPU scatter-add lowers to a serial loop and measured ~0.45 s per
+    [8, 4096, 4096] build (it was the dominant fixed cost of every
+    in-scan optimize_feature call); the equality construction is one
+    fused VPU pass over the output (~ms)."""
+    src, wt = warp_taps(flow)
+    f, hw, t = src.shape
+    iota = jnp.arange(hw, dtype=jnp.int32)
     wmat = jnp.zeros((f, hw, hw), dtype)
-    for yi, xi, wt in (
-        (y0, x0, (x0 + 1 - x) * (y0 + 1 - y)),
-        (y0, x0 + 1, (x - x0) * (y0 + 1 - y)),
-        (y0 + 1, x0, (x0 + 1 - x) * (y - y0)),
-        (y0 + 1, x0 + 1, (x - x0) * (y - y0)),
-    ):
-        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-        src = (
-            jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
-            + jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+    for i in range(t):
+        wmat = wmat + (
+            (src[:, :, i, None] == iota).astype(dtype)
+            * wt[:, :, i, None].astype(dtype)
         )
-        wmat = wmat.at[bidx, out_idx, src].add(
-            (wt * inb.astype(flow.dtype)).astype(dtype)
-        )
-    return wmat
+    # materialize: without the barrier XLA rematerializes the "cheap"
+    # one-hot construction into every Adam iteration's matmul operands
+    # (measured: per-iter slope doubled)
+    return jax.lax.optimization_barrier(wmat)
 
 
 def warp_taps(flow: jnp.ndarray):
@@ -257,7 +255,12 @@ def _gram_l1_fwd(v_hat, correlation, gram_dtype, chunk_rows):
 def _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows):
     """∂/∂v̂ of mean |v̂v̂ᵀ − C| = (S + Sᵀ)v̂ / N with S = sign(G − C),
     computed in row chunks.  Shared by the custom-vjp backward and the
-    grad-only Adam path (which never materializes the loss value)."""
+    grad-only Adam path (which never materializes the loss value).
+
+    S is symmetric — G = v̂v̂ᵀ and the reference gram C are both
+    symmetric (each entry is one commutative dot product, so even the
+    bf16 roundings match across the diagonal) — hence (S + Sᵀ)v̂ =
+    2·S·v̂: per chunk one gram-build einsum and ONE apply einsum."""
     b, hw, c = v_hat.shape
     vg = v_hat.astype(gram_dtype)
     grad = jnp.zeros((b, hw, c), jnp.float32)
@@ -269,17 +272,13 @@ def _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows):
         s = jnp.sign(
             g - _corr_chunk(correlation, row0, rows, gram_dtype)
         ).astype(gram_dtype)
-        # rows of S@v̂ land in this chunk's slice; Sᵀ@v̂ accumulates globally
         g_rows = jnp.einsum(
             "bij,bjc->bic", s, vg, preferred_element_type=jnp.float32
         )
         grad = jax.lax.dynamic_update_slice_in_dim(
             grad,
-            jax.lax.dynamic_slice_in_dim(grad, row0, rows, axis=1) + g_rows,
+            jax.lax.dynamic_slice_in_dim(grad, row0, rows, axis=1) + 2.0 * g_rows,
             row0, axis=1,
-        )
-        grad = grad + jnp.einsum(
-            "bij,bic->bjc", s, vc, preferred_element_type=jnp.float32
         )
     return grad / (b * hw * hw)
 

@@ -33,7 +33,7 @@ from fresco_tpu.models.controlnet import ControlNet
 from fresco_tpu.models.gmflow import GMFlow, GMFlowConfig
 from fresco_tpu.models.unet import UNet2DCondition, UNetConfig
 from fresco_tpu.models.vae import AutoencoderKL, VAEConfig
-from fresco_tpu.ops.image import resize_image, uint8_to_unit_range, unit_range_to_uint8
+from fresco_tpu.ops.image import resize_image, unit_range_to_uint8
 from fresco_tpu.pipeline import prepare
 from fresco_tpu.pipeline.keyframes import select_keyframes
 from fresco_tpu.pipeline.text import encode_prompts, make_tokenizer
@@ -464,10 +464,12 @@ class FrescoPipeline:
         cfg = self.config
         b = self.bundle
         sync = jax.block_until_ready if self.sync_phases else (lambda x: x)
-        frames_255 = self._shard_batch(jnp.asarray(np.stack(imgs), jnp.float32))
-        frames_unit = self._shard_batch(
-            jnp.asarray(uint8_to_unit_range(np.stack(imgs)))
-        )
+        # upload frames ONCE as uint8 (4x less host->device traffic — the
+        # tunnel transfer dominated otherwise) and convert on device
+        with phase_timer(self.phases, "upload_frames"):
+            frames_u8 = sync(self._shard_batch(jnp.asarray(np.stack(imgs))))
+        frames_255 = frames_u8.astype(jnp.float32)
+        frames_unit = frames_255 / 255.0 * 2.0 - 1.0
 
         with phase_timer(self.phases, "encode_prompts"):
             prompt_embeds = sync(self._shard_batch(encode_prompts(
@@ -479,9 +481,11 @@ class FrescoPipeline:
             edges_np = np.stack([b.detector(im) for im in imgs])
         if edges_np.ndim == 3:
             edges_np = edges_np[..., None]
-        edges = self._shard_batch(jnp.asarray(
-            np.repeat(edges_np, 3, axis=-1).astype(np.float32) / 255.0
-        ))
+        # single-channel uint8 upload; broadcast + scale on device
+        edges_u8 = self._shard_batch(jnp.asarray(edges_np))
+        edges = jnp.broadcast_to(
+            edges_u8.astype(jnp.float32) / 255.0, (*edges_u8.shape[:3], 3)
+        )
 
         fresco_state = FrescoState()
         attn = None
