@@ -54,9 +54,10 @@ def _flash_kernel(
 
         # q arrives pre-scaled (see _flash_forward) — saves one VPU pass
         # over the [bq, bk] logits, which bound this kernel at small d
+        acc_t = acc_scr.dtype
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk] f32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=acc_t
+        )  # [bq, bk] f32 (f64 in the x64 validation mode)
         s = jnp.where(mask[None, :], s, NEG_INF)
 
         m_prev = m_scr[:]  # [bq, 1]
@@ -69,7 +70,7 @@ def _flash_kernel(
         p = jnp.exp(s - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=acc_t
         )
         m_scr[:] = m_new
         l_scr[:] = l_new
@@ -89,6 +90,7 @@ def _round_up(x: int, m: int) -> int:
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
 def _flash_padded(q, k, v, key_mask, *, block_q, block_k, interpret):
+    acc_t = jnp.promote_types(q.dtype, jnp.float32)
     bh, sq, d = q.shape
     sk = k.shape[1]
     nq = sq // block_q
@@ -107,9 +109,9 @@ def _flash_padded(q, k, v, key_mask, *, block_q, block_k, interpret):
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), acc_t),
+            pltpu.VMEM((block_q, 1), acc_t),
+            pltpu.VMEM((block_q, d), acc_t),
         ],
         interpret=interpret,
     )(q, k, v, key_mask)
@@ -208,7 +210,9 @@ def _flash_forward(
     sk_p = _round_up(sk, block_k)
     d_p = _round_up(d, 128)
 
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)  # pre-scale (kernel skips it)
+    ps = jnp.promote_types(q.dtype, jnp.float32)  # f64 stays f64 (no
+    # truncation amplifier in the sharding-validation mode)
+    q = (q.astype(ps) * scale).astype(q.dtype)  # pre-scale (kernel skips it)
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, d_p - d)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_p - sk), (0, d_p - d)))

@@ -81,7 +81,8 @@ def _sdpa(q, k, v, mask=None, scale=None):
     d = q.shape[-1]
     if scale is None:
         scale = d ** -0.5
-    s = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32) * scale
+    sd = jnp.promote_types(q.dtype, jnp.float32)  # f64 stays f64 (smoke mode)
+    s = jnp.einsum("...qd,...kd->...qk", q, k).astype(sd) * scale
     if mask is not None:
         s = jnp.where(mask, s, -1e30)
     p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
@@ -192,7 +193,7 @@ def trajectory_attention(
     def permute(x, p):  # [chunk, F, hw, C], one-hot [F, hw, hw]
         return jnp.einsum(
             "fij,cfjk->cfik", p.astype(x.dtype), x,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
         ).astype(x.dtype)
 
     def traj_heads(x):
@@ -204,7 +205,8 @@ def trajectory_attention(
     vh = traj_heads(hidden)
 
     s = jnp.einsum(
-        "cfphd,cgphd->cphfg", qh, kh, preferred_element_type=jnp.float32
+        "cfphd,cgphd->cphfg", qh, kh,
+        preferred_element_type=jnp.promote_types(qh.dtype, jnp.float32)
     ) * (d**-0.5)
     s = jnp.where(traj_mask[None, :, None], s, -1e30)
     p = jax.nn.softmax(s, axis=-1).astype(vh.dtype)

@@ -351,7 +351,14 @@ def optimize_feature(
         return sample
 
     h, w = sample.shape[1:3]
-    gram_dtype = jnp.bfloat16 if cfg.gram_dtype == "bfloat16" else jnp.float32
+    # float64 features => f64 optimization throughout (the sharding-
+    # validation mode, parallel/smoke.py); else the reference's fp32
+    # loop with bf16/fp32 gram matmuls per cfg.gram_dtype
+    if sample.dtype == jnp.float64:
+        work_dtype = gram_dtype = jnp.float64
+    else:
+        work_dtype = jnp.float32
+        gram_dtype = jnp.bfloat16 if cfg.gram_dtype == "bfloat16" else jnp.float32
     if do_temporal:
         bwd_flow_s, bwd_occ_s = prepare_flow_for_scale(
             bwd_flow, bwd_occ, (h, w), dilate_full_res=False
@@ -367,7 +374,7 @@ def optimize_feature(
             fwd_warp = warp_matrix(fwd_flow_s, gram_dtype)
             bwd_warp = warp_matrix(bwd_flow_s, gram_dtype)
 
-    x0 = sample.astype(jnp.float32)
+    x0 = sample.astype(work_dtype)
 
     def grad_fn(cs):
         # gradient-only: the loop never reads the loss value, so the

@@ -67,7 +67,7 @@ class SamplerConfig:
     propagation_mode: bool = False
     do_opt: bool = True
     bg_smooth_latents: bool = True  # decoded-image smoothing in step()
-    bg_vae_chunk: int = 4  # frames per VAE round-trip group (memory/speed)
+    bg_vae_chunk: int = 8  # frames per VAE round-trip group (memory/speed)
 
 
 class FrescoSampler:
@@ -117,28 +117,32 @@ class FrescoSampler:
         f = frames.shape[0]
         s = self.scheduler
         rng_init, rng_enc, rng_steps = jax.random.split(rng, 3)
+        # latent-path dtype: f32 normally; f64 in the sharding-validation
+        # mode (any f64->f32 truncation of computed values amplifies
+        # reassociation noise ~1e5x through rounding-boundary straddles)
+        lat_t = jnp.promote_types(frames.dtype, jnp.float32)
 
         # SDEdit init (pipe_FRESCO.py:152-161)
         latent_hw = (frames.shape[1] // 8, frames.shape[2] // 8)
         noise_shape = (f, *latent_hw, 4)
         if cfg.repeat_noise:
             noise = jnp.tile(
-                jax.random.normal(rng_init, (1, *noise_shape[1:]), jnp.float32),
+                jax.random.normal(rng_init, (1, *noise_shape[1:]), lat_t),
                 (f, 1, 1, 1),
             )
         else:
-            noise = jax.random.normal(rng_init, noise_shape, jnp.float32)
+            noise = jax.random.normal(rng_init, noise_shape, lat_t)
 
         latent_x0 = self.vae.apply(
             params["vae"], frames, rng=rng_enc, method=self.vae.encode
-        ).astype(jnp.float32)
+        ).astype(lat_t)
         t_init = s.timesteps[cfg.num_warmup_steps]
         latents = s.add_noise(latent_x0, noise, t_init)
 
         gates = self._step_gates(cfg)
         n_steps = int(gates["t"].shape[0])
         if record_in is None:
-            record_in = jnp.zeros((n_steps, 2, *latent_hw, 4), jnp.float32)
+            record_in = jnp.zeros((n_steps, 2, *latent_hw, 4), lat_t)
 
         # hoist the edge-image conditioning embedding out of the step loop
         # (fixed per batch; the reference recomputes it every step)
@@ -150,7 +154,7 @@ class FrescoSampler:
             cond_emb = embed_cond(self.controlnet, params["controlnet"], edges2)
 
         def unet_step(latents, t, use_intra, use_inter, do_opt, scale_i):
-            lmi = jnp.concatenate([latents] * 2, axis=0).astype(jnp.float32)
+            lmi = jnp.concatenate([latents] * 2, axis=0).astype(lat_t)
             if cond_emb is not None:
                 ctrl = self.controlnet.apply(
                     params["controlnet"], lmi, t, prompt_embeds, cond_emb,
@@ -196,7 +200,7 @@ class FrescoSampler:
             eps = self.unet.apply(
                 params["unet"], lmi, t, prompt_embeds,
                 controlnet_residuals=ctrl, fresco=attn, guidance_fn=guidance_fn,
-            ).astype(jnp.float32)
+            ).astype(lat_t)
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             return eps_u + cfg.guidance_scale * (eps_c - eps_u)
 
@@ -228,7 +232,7 @@ class FrescoSampler:
                     )
                     img = img.reshape(x0.shape[0], *img.shape[2:])
                     img = warp_and_fuse(
-                        img.astype(jnp.float32), fresco.fwd_flow, fresco.bwd_flow,
+                        img.astype(lat_t), fresco.fwd_flow, fresco.bwd_flow,
                         fresco.fwd_occ, fresco.bwd_occ, fresco.saliency, chunk=1,
                     )
                     rng_s = jax.random.fold_in(
@@ -238,7 +242,7 @@ class FrescoSampler:
                         lambda zi: self.vae.apply(
                             params["vae"], zi[0], rng=zi[1],
                             method=self.vae.encode,
-                        ).astype(jnp.float32),
+                        ).astype(lat_t),
                         (
                             img.reshape(img.shape[0] // g, g, *img.shape[1:]),
                             jax.random.split(rng_s, img.shape[0] // g),
@@ -251,11 +255,11 @@ class FrescoSampler:
             rng_t = jax.random.fold_in(rng_steps, idx)
             if cfg.repeat_step_noise:
                 var_noise = jnp.tile(
-                    jax.random.normal(rng_t, (1, *latents.shape[1:]), jnp.float32),
+                    jax.random.normal(rng_t, (1, *latents.shape[1:]), lat_t),
                     (f, 1, 1, 1),
                 )
             else:
-                var_noise = jax.random.normal(rng_t, latents.shape, jnp.float32)
+                var_noise = jax.random.normal(rng_t, latents.shape, lat_t)
             latents = s.step_from_x0(latents, pred_x0, t, var_noise)
             return latents, rec_out
 

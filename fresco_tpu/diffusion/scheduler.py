@@ -67,9 +67,10 @@ class DDPMScheduler:
         self, sample: jnp.ndarray, eps: jnp.ndarray, t: jnp.ndarray
     ) -> jnp.ndarray:
         """Predicted original sample from epsilon (DDIM eq. 12)."""
-        ac = self.alphas_cumprod[t].astype(jnp.float32)
+        wd = jnp.promote_types(sample.dtype, jnp.float32)
+        ac = self.alphas_cumprod[t].astype(wd)
         return (
-            sample.astype(jnp.float32) - jnp.sqrt(1.0 - ac) * eps.astype(jnp.float32)
+            sample.astype(wd) - jnp.sqrt(1.0 - ac) * eps.astype(wd)
         ) / jnp.sqrt(ac)
 
     def step_from_x0(
@@ -86,11 +87,12 @@ class DDPMScheduler:
         ``noise`` must be standard normal of sample's shape (pass the same
         row repeated for the reference's repeat_noise mode).
         """
+        wd = jnp.promote_types(sample.dtype, jnp.float32)
         prev_t = self.previous_timestep(t)
-        ac_t = self.alphas_cumprod[t].astype(jnp.float32)
+        ac_t = self.alphas_cumprod[t].astype(wd)
         ac_prev = jnp.where(
             prev_t >= 0, self.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0
-        ).astype(jnp.float32)
+        ).astype(wd)
         beta_t = 1.0 - ac_t
         beta_prev = 1.0 - ac_prev
         cur_alpha = ac_t / ac_prev
@@ -98,15 +100,13 @@ class DDPMScheduler:
 
         x0_coeff = jnp.sqrt(ac_prev) * cur_beta / beta_t
         xt_coeff = jnp.sqrt(cur_alpha) * beta_prev / beta_t
-        mean = x0_coeff * pred_x0.astype(jnp.float32) + xt_coeff * sample.astype(
-            jnp.float32
-        )
+        mean = x0_coeff * pred_x0.astype(wd) + xt_coeff * sample.astype(wd)
 
         var = jnp.clip(beta_prev / beta_t * cur_beta, 1e-20, None)
         # diffusers adds variance noise except at the final step (t==0 ->
         # prev_t<0 -> var -> clip floor); the reference keeps noise at every
         # step with the clamped variance, matched here.
-        return (mean + jnp.sqrt(var) * noise.astype(jnp.float32)).astype(sample.dtype)
+        return (mean + jnp.sqrt(var) * noise.astype(wd)).astype(sample.dtype)
 
     def step(
         self,

@@ -14,7 +14,10 @@ import jax.numpy as jnp
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in fp32 regardless of input dtype."""
+    """GroupNorm computed in AT LEAST fp32: bf16 inputs upcast to fp32
+    (the reference's mixed-precision convention); float64 inputs stay
+    float64 so the f64 sharding-validation mode keeps its reduction
+    noise at 1e-16 (see parallel/smoke.py)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -22,9 +25,10 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig = x.dtype
+        work = jnp.promote_types(orig, jnp.float32)
         out = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.epsilon, dtype=jnp.float32
-        )(x.astype(jnp.float32))
+            num_groups=self.num_groups, epsilon=self.epsilon, dtype=work
+        )(x.astype(work))
         return out.astype(orig)
 
 

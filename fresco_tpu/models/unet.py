@@ -124,7 +124,8 @@ class CrossAttention(nn.Module):
         # context is 77 tokens: tiny keys, plain fused SDPA is optimal
         qh, kh, vh = (_split_heads(t, self.heads) for t in (q, k, v))
         d = qh.shape[-1]
-        s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) * (d**-0.5)
+        sd = jnp.promote_types(qh.dtype, jnp.float32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(sd) * (d**-0.5)
         p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
         p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vh.dtype)
         o = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", p, vh))
@@ -152,17 +153,28 @@ class SelfAttention(nn.Module):
         return fresco_self_attention(x, wq, wk, wv, wo, self.heads, fresco, layer_index)
 
 
+
+def _layer_norm_32(name: str, x):
+    """LayerNorm in at-least-fp32 (f64 passes through for the sharding-
+    validation mode — channel reductions must not reintroduce f32
+    reassociation noise there)."""
+    work = jnp.promote_types(x.dtype, jnp.float32)
+    return nn.LayerNorm(epsilon=1e-5, dtype=work, name=name)(
+        x.astype(work)
+    ).astype(x.dtype)
+
+
 class BasicTransformerBlock(nn.Module):
     heads: int
     dtype: jnp.dtype
 
     @nn.compact
     def __call__(self, x, context, fresco, layer_index):
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x.astype(jnp.float32)).astype(x.dtype)
+        h = _layer_norm_32("norm1", x)
         x = x + SelfAttention(self.heads, self.dtype, name="attn1")(h, fresco, layer_index)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x.astype(jnp.float32)).astype(x.dtype)
+        h = _layer_norm_32("norm2", x)
         x = x + CrossAttention(self.heads, self.dtype, name="attn2")(h, context)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x.astype(jnp.float32)).astype(x.dtype)
+        h = _layer_norm_32("norm3", x)
         inner = x.shape[-1] * 4
         h = GEGLU(inner, self.dtype, name="ff_geglu")(h)
         x = x + nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(h)

@@ -166,14 +166,15 @@ class AutoencoderKL(nn.Module):
         ``sample=False`` for the deterministic mean.
         """
         mean, logvar = self.encode_moments(x)
+        wd = jnp.promote_types(mean.dtype, jnp.float32)  # f64 passes through
         if sample:
             if rng is None:
                 raise ValueError("rng required when sampling the posterior")
-            std = jnp.exp(0.5 * logvar.astype(jnp.float32))
-            noise = jax.random.normal(rng, mean.shape, dtype=jnp.float32)
-            z = mean.astype(jnp.float32) + std * noise
+            std = jnp.exp(0.5 * logvar.astype(wd))
+            noise = jax.random.normal(rng, mean.shape, dtype=wd)
+            z = mean.astype(wd) + std * noise
         else:
-            z = mean.astype(jnp.float32)
+            z = mean.astype(wd)
         return (z * self.cfg.scaling_factor).astype(self.dtype)
 
     def decode(self, z):

@@ -63,12 +63,13 @@ def warp_and_fuse(
     h, w = sample.shape[1:3]
     bwd_flow_s, bwd_occ_s = prepare_flow_for_scale(bwd_flow, bwd_occ, (h, w))
     fwd_flow_s, fwd_occ_s = prepare_flow_for_scale(fwd_flow, fwd_occ, (h, w))
-    sal = resize_bilinear(saliency, (h, w)).astype(jnp.float32)
+    wd = jnp.promote_types(sample.dtype, jnp.float32)
+    sal = resize_bilinear(saliency, (h, w)).astype(wd)
 
     warp_sal = flow_warp(sal, bwd_flow_s)  # [N,h,w,1]
     warp_sal_wrap = flow_warp(sal[0:1], fwd_flow_s[n - 1 : n])  # [1,h,w,1]
 
-    latent = sample.astype(jnp.float32)
+    latent = sample.astype(wd)
     frames = [latent[i] for i in range(latent.shape[0])]
     for j in range(chunk):
         for ii in range(n - 1):

@@ -106,10 +106,11 @@ def intraframe_params(
     f = frames.shape[0]
     rng_noise, rng_enc = jax.random.split(rng)
     t_last = scheduler.timesteps[-1]
+    lat_t = jnp.promote_types(frames.dtype, jnp.float32)
     latent_x0 = vae.apply(
         params["vae"], frames, rng=rng_enc, method=vae.encode
-    ).astype(jnp.float32)
-    noise = jax.random.normal(rng_noise, latent_x0.shape, jnp.float32)
+    ).astype(lat_t)
+    noise = jax.random.normal(rng_noise, latent_x0.shape, lat_t)
     latents = scheduler.add_noise(latent_x0, noise, t_last)
 
     lmi = jnp.concatenate([latents] * 2, axis=0)
@@ -126,7 +127,10 @@ def intraframe_params(
     correlations = {}
     for stage, feat in enumerate(up_features):
         b, h, w, c = feat.shape
-        v = feat.astype(jnp.float32).reshape(b, h * w, c)
+        # at-least-f32 (f64 features keep f64 reductions — the sharding-
+        # validation mode needs the channel sum free of f32 reassociation)
+        nd = jnp.promote_types(feat.dtype, jnp.float32)
+        v = feat.astype(nd).reshape(b, h * w, c)
         v = v / jnp.sqrt(jnp.sum(v * v, axis=2, keepdims=True))
         correlations[stage] = v.astype(corr_dtype)
 

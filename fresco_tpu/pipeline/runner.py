@@ -75,7 +75,13 @@ def build_models(
 
     ``tiny=True`` builds reduced-width models (tests/smoke on CPU).
     """
-    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    dtype = {
+        "bfloat16": jnp.bfloat16,
+        # float64: sharding-validation mode (parallel/smoke.py) — needs
+        # jax_enable_x64; reassociation noise at 1e-16 cannot cross the
+        # sign()/threshold discontinuities, making sharded == single exact
+        "float64": jnp.float64,
+    }.get(config.dtype, jnp.float32)
     if tiny:
         ucfg = UNetConfig.tiny()
         vcfg = VAEConfig.tiny()
@@ -335,9 +341,11 @@ class FrescoPipeline:
     def _intraframe(self, params, frames, prompt_embeds, rng):
         # reference grams stored in the same dtype the loss computes in,
         # so gram_dtype="float32" is strict parity end-to-end
-        corr_dtype = (
-            jnp.bfloat16 if self.config.gram_dtype == "bfloat16" else jnp.float32
-        )
+        corr_dtype = {
+            "float64": jnp.float64,  # f64 sharding-validation mode
+        }.get(self.config.dtype,
+              jnp.bfloat16 if self.config.gram_dtype == "bfloat16"
+              else jnp.float32)
         return prepare.intraframe_params(
             self.bundle.unet, self.bundle.vae, params, self.bundle.scheduler,
             frames, prompt_embeds, rng, corr_dtype=corr_dtype,
@@ -468,7 +476,8 @@ class FrescoPipeline:
         # tunnel transfer dominated otherwise) and convert on device
         with phase_timer(self.phases, "upload_frames"):
             frames_u8 = sync(self._shard_batch(jnp.asarray(np.stack(imgs))))
-        frames_255 = frames_u8.astype(jnp.float32)
+        ftype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+        frames_255 = frames_u8.astype(ftype)
         frames_unit = frames_255 / 255.0 * 2.0 - 1.0
 
         with phase_timer(self.phases, "encode_prompts"):
@@ -484,7 +493,7 @@ class FrescoPipeline:
         # single-channel uint8 upload; broadcast + scale on device
         edges_u8 = self._shard_batch(jnp.asarray(edges_np))
         edges = jnp.broadcast_to(
-            edges_u8.astype(jnp.float32) / 255.0, (*edges_u8.shape[:3], 3)
+            edges_u8.astype(ftype) / 255.0, (*edges_u8.shape[:3], 3)
         )
 
         fresco_state = FrescoState()

@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--opt-iters", type=int, default=20)
+    ap.add_argument("--no-opt", action="store_true",
+                    help="disable feature optimization (in-scan attribution)")
+    ap.add_argument("--no-attn", action="store_true",
+                    help="disable FRESCO attention variants")
+    ap.add_argument("--no-bg", action="store_true",
+                    help="disable background smoothing")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +53,10 @@ def main():
         opt_iters=args.opt_iters,
         use_controlnet=True,
         controlnet_type="canny",
-        use_saliency=True,
+        use_saliency=not args.no_bg,
+        use_fresco_attn=not args.no_attn,
+        use_fresco_opt=not args.no_opt,
+        bg_smoothing_steps=() if args.no_bg else (16, 17),
         prompt="bench",
         dtype="bfloat16",
     )

@@ -62,13 +62,38 @@ def test_sharded_forward_matches_unsharded(tiny_unet, rng):
 @pytest.mark.slow
 def test_full_sampler_sharded_matches_single():
     """The REAL program under the mesh: FrescoPipeline._translate_batch
-    (all FRESCO mechanisms + record/restore) with mesh_shape=(2,1) equals
-    the single-device run (VERDICT r1 item 1)."""
-    from fresco_tpu.parallel.smoke import run_full_sampler
+    (all FRESCO mechanisms + record/restore) with mesh_shape=(2,2) equals
+    the single-device run (VERDICT r1 item 1).
 
-    single = run_full_sampler((1, 1), frames=4)
-    sharded = run_full_sampler((2, 1), frames=4)
-    np.testing.assert_allclose(sharded, single, atol=1e-3, rtol=1e-3)
+    Runs in a subprocess with jax_enable_x64: the sampler's sign/
+    threshold discontinuities amplify f32 reassociation noise between
+    different shardings to O(1e-2) (see parallel/smoke.py docstring);
+    in f64 the check is tight and robust."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import os;"
+        "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')"
+        " + ' --xla_force_host_platform_device_count=8';"
+        "import jax;"
+        "jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_enable_x64', True);"
+        "import numpy as np;"
+        "from fresco_tpu.parallel.smoke import run_full_sampler;"
+        "single = run_full_sampler((1, 1), frames=4);"
+        "sharded = run_full_sampler((2, 2), frames=4);"
+        "np.testing.assert_allclose(sharded, single, atol=1e-5, rtol=1e-5);"
+        "print('sharded==single OK', np.abs(sharded-single).max())"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1800, cwd=repo,
+    )
+    assert out.returncode == 0, (out.stdout + out.stderr)[-2000:]
+    assert "sharded==single OK" in out.stdout
 
 
 def test_distributed_train_step_runs(tiny_unet, rng):
