@@ -78,18 +78,23 @@ def _gather2d(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray
 
 
 def _patch_error(
-    nnf_y, nnf_x, src, tgt_patches, weights, patch: int
+    nnf_y, nnf_x, src_patches, tgt_patches, weights, patch: int, sw: int
 ):
     """SSD between the source patch at (nnf_y, nnf_x) and the target patch
-    at every pixel.  tgt_patches: [Ht, Wt, n_off, C] precomputed target
-    neighborhoods; weights: [C].  Returns [Ht, Wt]."""
-    offs = _offsets(patch)
-    err = jnp.zeros(nnf_y.shape, jnp.float32)
-    for i, (dy, dx) in enumerate(offs):
-        s = _gather2d(src, nnf_y + dy, nnf_x + dx)  # [Ht, Wt, C]
-        d = (s - tgt_patches[:, :, i, :]).astype(jnp.float32)
-        err = err + jnp.einsum("hwc,c->hw", d * d, weights)
-    return err
+    at every pixel.
+
+    src_patches: [sh*sw, n_off*C] PRE-STACKED source neighborhoods
+    (bf16) — each candidate costs ONE wide row-gather instead of n_off
+    narrow ones.  XLA TPU gathers pay a fixed per-row cost, so the
+    per-offset formulation was gather-serialized (measured 34.7 s/frame
+    at 256px; this layout is the fix).  tgt_patches: [Ht, Wt, n_off*C];
+    weights: [n_off*C] (per-channel weights tiled over offsets).
+    Returns [Ht, Wt] float32."""
+    flat = nnf_y * sw + nnf_x
+    s = jnp.take(src_patches, flat.reshape(-1), axis=0)
+    s = s.reshape(*nnf_y.shape, src_patches.shape[-1])
+    d = (s - tgt_patches).astype(jnp.float32)
+    return jnp.einsum("hwc,c->hw", d * d, weights)
 
 
 def _target_patches(tgt: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -101,6 +106,13 @@ def _target_patches(tgt: jnp.ndarray, patch: int) -> jnp.ndarray:
     for dy, dx in _offsets(patch):
         outs.append(_gather2d(tgt, ys + dy, xs + dx))
     return jnp.stack(outs, axis=2)
+
+
+def _flat_patches(img: jnp.ndarray, patch: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[H,W,C] -> [H*W, n_off*C] pre-stacked neighborhoods (the row-
+    gatherable layout _patch_error consumes)."""
+    h, w, c = img.shape
+    return _target_patches(img, patch).reshape(h * w, -1).astype(dtype)
 
 
 def _omega(nnf_y, nnf_x, sh, sw, patch):
@@ -145,17 +157,23 @@ def _synthesize_level(
     r = patch // 2
     cs = style_src.shape[-1]
 
-    tgt_g_patches = _target_patches(tgt_guides, patch)
+    # pre-stacked patch layouts (see _patch_error): source [style|guides]
+    # rows, target guide half fixed per level
+    src_patches = _flat_patches(src_all, patch)  # [sh*sw, n_off*(Cs+Cg)]
+    tgt_g_patches = _target_patches(tgt_guides, patch).astype(jnp.bfloat16)
+    w_all = jnp.tile(
+        jnp.concatenate([weights_s, weights_g]).astype(jnp.float32),
+        (patch * patch,),
+    )
     ys = jnp.arange(th)[:, None] * jnp.ones((1, tw), jnp.int32)
     xs = jnp.arange(tw)[None, :] * jnp.ones((th, 1), jnp.int32)
 
     omega_best = (th * tw) / (sh * sw) * (patch * patch)
 
-    def eval_cand(ny, nx, tgt_s_patches, omega_map):
+    def eval_cand(ny, nx, tgt_all_patches, omega_map):
         ny = jnp.clip(ny, r, sh - 1 - r)
         nx = jnp.clip(nx, r, sw - 1 - r)
-        e = _patch_error(ny, nx, src_all[..., cs:], tgt_g_patches, weights_g, patch)
-        e = e + _patch_error(ny, nx, src_all[..., :cs], tgt_s_patches, weights_s, patch)
+        e = _patch_error(ny, nx, src_patches, tgt_all_patches, w_all, patch, sw)
         if uniformity > 0:
             usage = _gather2d(omega_map[..., None], ny, nx)[..., 0]
             e = e + uniformity * usage / omega_best
@@ -173,15 +191,20 @@ def _synthesize_level(
     def sv_iter(carry, it):
         nnf_, rng_ = carry
         tgt_style = vote(nnf_)
-        tgt_s_patches = _target_patches(tgt_style, patch)
+        tgt_s_patches = _target_patches(tgt_style, patch).astype(jnp.bfloat16)
+        # interleave per-offset [style|guide] channels to match src_all's
+        # channel order inside each offset block
+        tgt_all_patches = jnp.concatenate(
+            [tgt_s_patches, tgt_g_patches], axis=-1
+        ).reshape(th, tw, -1)
         omega_map = _omega(nnf_[..., 0], nnf_[..., 1], sh, sw, patch)
 
         def pm_iter(carry2, it2):
             nnf2, rng2 = carry2
-            by, bx, be = eval_cand(nnf2[..., 0], nnf2[..., 1], tgt_s_patches, omega_map)
+            by, bx, be = eval_cand(nnf2[..., 0], nnf2[..., 1], tgt_all_patches, omega_map)
 
             def consider(by, bx, be, cy, cx):
-                ny, nx, e = eval_cand(cy, cx, tgt_s_patches, omega_map)
+                ny, nx, e = eval_cand(cy, cx, tgt_all_patches, omega_map)
                 better = e < be
                 return (
                     jnp.where(better, ny, by),
