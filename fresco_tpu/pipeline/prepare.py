@@ -173,6 +173,17 @@ def build_attn_params(
             f = mask.shape[0]
             flat = mask.reshape(-1)
             k_cap = int(min(cf_key_cap * hw, f * hw))
+            try:  # host-side exactness guard (runs outside jit)
+                n_valid = int(jax.device_get(flat.sum()))
+                if n_valid > k_cap:
+                    print(
+                        f"[fresco_tpu] cf compaction at hw={hw}: {n_valid} "
+                        f"valid keys > cap {k_cap} — attention truncates "
+                        f"the least-recent frames' keys; raise cf_key_cap "
+                        f"for exact reference semantics"
+                    )
+            except Exception:
+                pass  # traced masks (e.g. inside a jitted smoke harness)
             perm = jnp.argsort(~flat, stable=True)[:k_cap]
             cf_perms[hw] = (perm, jnp.take(flat, perm))
     return FrescoAttnParams(

@@ -304,6 +304,19 @@ def synthesize(
             uniformity=cfg.uniformity,
             rand_candidates=cfg.rand_candidates,
         )
+    if cfg.extra_pass_3x3:
+        # finest level rerun with 3x3 patches and uniformity off, seeded
+        # from the converged NNF (ebsynth_cpu.cpp:983-989)
+        rng, k_extra = jax.random.split(rng)
+        nnf, out, err = _synthesize_level(
+            src_all, t_guides, s_style, guide_channel_weights, weights_s,
+            nnf, k_extra,
+            patch=3,
+            pm_iters=cfg.pm_iters,
+            sv_iters=cfg.sv_iters,
+            uniformity=0.0,
+            rand_candidates=cfg.rand_candidates,
+        )
     return out, err, nnf
 
 
@@ -350,6 +363,12 @@ def _synthesize_native(style, source_guides, target_guides, guide_weights, cfg):
             s_style, s_guides, t_guides, sw_arr, gw, np.ascontiguousarray(nnf),
             patch=cfg.patch_size, pm_iters=cfg.pm_iters, sv_iters=cfg.sv_iters,
             uniformity=cfg.uniformity, seed=li,
+        )
+    if cfg.extra_pass_3x3:  # ebsynth_cpu.cpp:983-989
+        out, err, nnf = synthesize_level_native(
+            s_style, s_guides, t_guides, sw_arr, gw, np.ascontiguousarray(nnf),
+            patch=3, pm_iters=cfg.pm_iters, sv_iters=cfg.sv_iters,
+            uniformity=0.0, seed=len(sizes),
         )
     return jnp.asarray(out), jnp.asarray(err), jnp.asarray(nnf)
 
@@ -418,5 +437,22 @@ def synthesize_batch(
         nnf, out, err = level_fn(
             src_all, t_guides, s_style, guide_channel_weights, weights_s,
             nnf, jax.random.split(k_run, nb),
+        )
+    if cfg.extra_pass_3x3:
+        extra_fn = jax.vmap(
+            functools.partial(
+                _synthesize_level,
+                patch=3,
+                pm_iters=cfg.pm_iters,
+                sv_iters=cfg.sv_iters,
+                uniformity=0.0,
+                rand_candidates=cfg.rand_candidates,
+            ),
+            in_axes=(0, 0, 0, None, None, 0, 0),
+        )
+        rng, k_extra = jax.random.split(rng)
+        nnf, out, err = extra_fn(
+            src_all, t_guides, s_style, guide_channel_weights, weights_s,
+            nnf, jax.random.split(k_extra, nb),
         )
     return out, err, nnf

@@ -107,3 +107,24 @@ def test_poisson_fusion_identity():
     out = poisson_fusion(img, img, img, mask, iters=60)
     diff = np.abs(out.astype(int) - img.astype(int)).mean()
     assert diff < 3.0, diff
+
+
+def test_patchmatch_extra_pass_3x3(rng):
+    """The -extrapass3x3 mode (finest-level rerun, patch 3, uniformity 0
+    — ebsynth_cpu.cpp:983-989) must run and preserve an identity match."""
+    h = w = 32
+    guides = 0.8 * _checker(h, w) + 0.2 * rng.uniform(
+        0, 255, (h, w, 3)
+    ).astype(np.float32)
+    style = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    cfg = PatchMatchConfig(
+        patch_size=5, pm_iters=3, sv_iters=3, uniformity=0.0,
+        num_pyramid_levels=1, extra_pass_3x3=True,
+    )
+    out, err, nnf = synthesize(
+        jnp.asarray(style), jnp.asarray(guides), jnp.asarray(guides),
+        jnp.full((3,), 2.0), cfg, rng=jax.random.key(1),
+    )
+    m = 4
+    diff = np.abs(np.asarray(out)[m:-m, m:-m] - style[m:-m, m:-m]).mean()
+    assert diff < 10.0, f"mean abs diff {diff}"
