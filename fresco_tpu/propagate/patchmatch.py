@@ -97,14 +97,27 @@ def _patch_error(
     return jnp.einsum("hwc,c->hw", d * d, weights)
 
 
+def _shifted(img: jnp.ndarray, dy: int, dx: int, pad: int) -> jnp.ndarray:
+    """Clamped static shift as edge-pad + slice — XLA lowers gathers
+    (even with static iota indices) to per-row loops on TPU; a slice is
+    pure vectorized data movement."""
+    h, w = img.shape[:2]
+    p = jnp.pad(img, ((pad, pad), (pad, pad)) + ((0, 0),) * (img.ndim - 2),
+                mode="edge")
+    return jax.lax.dynamic_slice_in_dim(
+        jax.lax.dynamic_slice_in_dim(p, pad + dy, h, axis=0), pad + dx, w, axis=1
+    )
+
+
 def _target_patches(tgt: jnp.ndarray, patch: int) -> jnp.ndarray:
     """[H,W,C] -> [H,W,n_off,C] clamped neighborhoods (static offsets)."""
+    pad = patch  # covers the max |offset|
+    padded = jnp.pad(tgt, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     h, w, _ = tgt.shape
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
-    outs = []
-    for dy, dx in _offsets(patch):
-        outs.append(_gather2d(tgt, ys + dy, xs + dx))
+    outs = [
+        padded[pad + dy : pad + dy + h, pad + dx : pad + dx + w]
+        for dy, dx in _offsets(patch)
+    ]
     return jnp.stack(outs, axis=2)
 
 
@@ -179,12 +192,26 @@ def _synthesize_level(
             e = e + uniformity * usage / omega_best
         return ny, nx, e
 
+    # style neighborhoods for the vote: out(p) = mean_i style[nnf(p+o_i)-o_i]
+    # = mean_i SP[nnf(p+o_i)][mirror(i)] — ONE wide row-gather of SP per
+    # vote + 25 static shifted slices, instead of 25 narrow dynamic gathers
+    style_patches = _target_patches(style_src, patch).reshape(
+        sh * sw, patch * patch, cs
+    )
+    n_off = patch * patch
+
     def vote(nnf_):
+        flat = (
+            jnp.clip(nnf_[..., 0], 0, sh - 1) * sw
+            + jnp.clip(nnf_[..., 1], 0, sw - 1)
+        )
+        g = jnp.take(style_patches, flat.reshape(-1), axis=0)
+        g = g.reshape(th, tw, n_off, cs)
         out = jnp.zeros((th, tw, cs), jnp.float32)
         for i, (dy, dx) in enumerate(_offsets(patch)):
-            n = _gather2d(nnf_.astype(jnp.float32), ys + dy, xs + dx).astype(jnp.int32)
-            out = out + _gather2d(style_src, n[..., 0] - dy, n[..., 1] - dx)
-        return out / (patch * patch)
+            # offsets are centro-symmetric: mirror(-o_i) = n_off-1-i
+            out = out + _shifted(g[:, :, n_off - 1 - i, :], dy, dx, patch)
+        return out / n_off
 
     shifts = [1, 2, 4, 8]
 
@@ -213,11 +240,10 @@ def _synthesize_level(
                 )
 
             # jump-flood propagation: neighbor matches, shift-adjusted
+            # (static shifts as pad+slice, not gathers)
             for d in shifts:
                 for dy, dx in ((d, 0), (-d, 0), (0, d), (0, -d)):
-                    n = _gather2d(
-                        nnf2.astype(jnp.float32), ys + dy, xs + dx
-                    ).astype(jnp.int32)
+                    n = _shifted(nnf2, dy, dx, max(shifts))
                     by, bx, be = consider(by, bx, be, n[..., 0] - dy, n[..., 1] - dx)
 
             # random search with exponentially decaying radius
