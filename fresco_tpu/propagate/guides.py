@@ -49,10 +49,41 @@ def warp_nearest(img: np.ndarray, bwd_flow: np.ndarray) -> np.ndarray:
                      borderMode=cv2.BORDER_CONSTANT)
 
 
-def inpaint_occluded(img: np.ndarray, occ_mask: np.ndarray) -> np.ndarray:
-    """TELEA-inpaint occluded regions (guide.py:40,99-101)."""
-    mask = (occ_mask > 0).astype(np.uint8) * 255
-    return cv2.inpaint(img, mask, 30, cv2.INPAINT_TELEA)
+def inpaint_occluded(
+    img: np.ndarray, occ_mask: np.ndarray, method: str = "pushpull"
+) -> np.ndarray:
+    """Fill occluded regions of a guide image (guide.py:40,99-101).
+
+    The reference TELEA-inpaints with radius 30 — measured 4.6 s per
+    512x640 call on one host core (the reference amortizes it over 8
+    worker processes), which dominated the whole propagation stage
+    (~18 s/frame of pure inpainting).  Default ``pushpull`` is a
+    pyramid fill (average-downsample valid pixels, upsample into holes)
+    — a few cv2.resize passes (~10 ms) producing smooth hole content,
+    which is all a soft guide channel needs.  ``method="telea"`` keeps
+    the reference's exact algorithm."""
+    mask = occ_mask > 0
+    if method == "telea":
+        return cv2.inpaint(img, mask.astype(np.uint8) * 255, 30,
+                           cv2.INPAINT_TELEA)
+    valid = (~mask).astype(np.float32)
+    acc = img.astype(np.float32) * valid[..., None]
+    cnt = valid
+    stack = []
+    while min(acc.shape[:2]) > 1:
+        stack.append((acc, cnt))
+        nh, nw = max(acc.shape[0] // 2, 1), max(acc.shape[1] // 2, 1)
+        acc = cv2.resize(acc, (nw, nh), interpolation=cv2.INTER_AREA)
+        cnt = cv2.resize(cnt, (nw, nh), interpolation=cv2.INTER_AREA)
+    fill = acc / np.maximum(cnt, 1e-6)[..., None]
+    for acc_l, cnt_l in reversed(stack):
+        fill = cv2.resize(fill, (acc_l.shape[1], acc_l.shape[0]),
+                          interpolation=cv2.INTER_LINEAR)
+        have = cnt_l > 1e-6
+        lvl = acc_l / np.maximum(cnt_l, 1e-6)[..., None]
+        fill = np.where(have[..., None], lvl, fill)
+    out = np.where(mask[..., None], np.clip(fill, 0, 255), img)
+    return out.astype(img.dtype)
 
 
 def positional_chain(

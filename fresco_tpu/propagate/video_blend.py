@@ -86,7 +86,8 @@ class _FlowCache:
         return self.cache[key]
 
 
-def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng):
+def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng,
+                           backend: str = "tpu"):
     """Advance the forward and backward chains of one interval in
     lockstep — replaces the reference's per-direction subprocess
     fan-out (video_blend.py:67-106).  Directions run as two single-job
@@ -149,6 +150,7 @@ def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng):
             out, err, _ = synthesize(
                 styles[d], src_guides[d], jnp.asarray(tgt_stacks[d]), weights,
                 cfg, rng=jax.random.fold_in(jax.random.fold_in(rng, j), d),
+                backend=backend,
             )
             out_np = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
             outs[d].append(out_np)
@@ -171,6 +173,7 @@ def blend_video(
     seed: int = 0,
     reuse_synthesis: bool = False,
     keep_tmp: bool = True,
+    synth_backend: str = "tpu",
 ):
     """Reference video_blend.py main flow.  Reads base_dir/video/%04d.png
     and base_dir/<key_dir>/%04d.png, writes base_dir/blend/%04d.png and
@@ -178,7 +181,10 @@ def blend_video(
 
     ``reuse_synthesis`` is the reference's ``-ne`` resume affordance
     (video_blend.py:299-303): cached per-interval synthesis outputs and
-    flows in base_dir/tmp are loaded instead of recomputed."""
+    flows in base_dir/tmp are loaded instead of recomputed.
+    ``synth_backend``: 'tpu' (jump-flood on device) or 'native' (the
+    C++/OpenMP serpentine backend — the better choice on many-core
+    hosts without a chip, mirroring the reference's CPU path)."""
     video_dir = os.path.join(base_dir, "video")
     blend_dir = os.path.join(base_dir, "blend")
     tmp_dir = os.path.join(base_dir, "tmp")
@@ -239,6 +245,7 @@ def blend_video(
                 (fwd_flows, bwd_flows),
                 patch_cfg,
                 jax.random.fold_in(rng, seq_i),
+                backend=synth_backend,
             )
             bwd_out, bwd_err = bwd_out[::-1], bwd_err[::-1]
             if keep_tmp and fwd_out:
@@ -350,6 +357,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="fresco_tpu video blending")
     p.add_argument("name", type=str)
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--backend", type=str, default="tpu",
+                   choices=["tpu", "native"],
+                   help="patch-synthesis backend (native = C++ serpentine)")
     p.add_argument("--fps", type=float, default=30)
     p.add_argument("--key_ind", type=int, nargs="+", required=True)
     p.add_argument("--key", type=str, default="keys")
@@ -361,7 +371,7 @@ def main(argv=None):
     a = p.parse_args(argv)
     blend_video(
         a.name, a.key_ind, a.key, a.output, a.fps, a.n_proc, poisson=a.ps,
-        reuse_synthesis=a.ne, keep_tmp=True,
+        reuse_synthesis=a.ne, keep_tmp=True, synth_backend=a.backend,
     )
 
 
