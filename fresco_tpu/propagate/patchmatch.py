@@ -183,13 +183,20 @@ def _synthesize_level(
 
     omega_best = (th * tw) / (sh * sw) * (patch * patch)
 
-    def eval_cand(ny, nx, tgt_all_patches, omega_map):
+    def eval_cand(ny, nx, tgt_all_patches, table):
+        # ``table`` = src_patches with the SCALED omega term appended as a
+        # last column: the uniformity usage rides the same wide row-gather
+        # as the patch SSD (a separate narrow usage gather measured 6 s of
+        # the 16 s level — per-row gather cost again)
         ny = jnp.clip(ny, r, sh - 1 - r)
         nx = jnp.clip(nx, r, sw - 1 - r)
-        e = _patch_error(ny, nx, src_patches, tgt_all_patches, w_all, patch, sw)
+        flat = ny * sw + nx
+        s = jnp.take(table, flat.reshape(-1), axis=0)
+        s = s.reshape(*ny.shape, table.shape[-1])
+        d = (s[..., :-1] - tgt_all_patches).astype(jnp.float32)
+        e = jnp.einsum("hwc,c->hw", d * d, w_all)
         if uniformity > 0:
-            usage = _gather2d(omega_map[..., None], ny, nx)[..., 0]
-            e = e + uniformity * usage / omega_best
+            e = e + s[..., -1].astype(jnp.float32)
         return ny, nx, e
 
     # style neighborhoods for the vote: out(p) = mean_i style[nnf(p+o_i)-o_i]
@@ -224,14 +231,19 @@ def _synthesize_level(
         tgt_all_patches = jnp.concatenate(
             [tgt_s_patches, tgt_g_patches], axis=-1
         ).reshape(th, tw, -1)
+        # scaled uniformity term appended to the gather table (eval_cand)
         omega_map = _omega(nnf_[..., 0], nnf_[..., 1], sh, sw, patch)
+        omega_col = (
+            (uniformity / omega_best) * omega_map.reshape(sh * sw, 1)
+        ).astype(src_patches.dtype)
+        table = jnp.concatenate([src_patches, omega_col], axis=1)
 
         def pm_iter(carry2, it2):
             nnf2, rng2 = carry2
-            by, bx, be = eval_cand(nnf2[..., 0], nnf2[..., 1], tgt_all_patches, omega_map)
+            by, bx, be = eval_cand(nnf2[..., 0], nnf2[..., 1], tgt_all_patches, table)
 
             def consider(by, bx, be, cy, cx):
-                ny, nx, e = eval_cand(cy, cx, tgt_all_patches, omega_map)
+                ny, nx, e = eval_cand(cy, cx, tgt_all_patches, table)
                 better = e < be
                 return (
                     jnp.where(better, ny, by),
