@@ -81,8 +81,11 @@ class FrescoConfig:
     # dtype for gram matmuls AND stored reference correlations (threaded
     # into intraframe_params so "float32" gives strict end-to-end parity)
     gram_dtype: str = "bfloat16"
-    # cross-frame attention valid-key compaction cap (xK of hw); 0 = dense
-    cf_key_cap: float = 2.0
+    # cross-frame attention valid-key compaction: "auto" sizes the cap
+    # from the measured valid-key count per batch (never truncates —
+    # exact reference semantics, diffusion_hacked.py:225-247); a number
+    # fixes the cap at xK of hw (may truncate, warned once); 0 = dense
+    cf_key_cap: float | str = "auto"
 
     # --- TPU runtime ---
     dtype: str = "bfloat16"              # compute dtype for SD/ControlNet/VAE

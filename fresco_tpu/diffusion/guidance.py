@@ -52,6 +52,17 @@ class GuidanceConfig:
     # runs ~4-8x faster on the MXU than full fp32 with negligible effect
     # on the optimized feature; set "float32" for strict parity.
     gram_dtype: str = "bfloat16"
+    # The reference gram C is iteration-invariant; reconstructing it from
+    # the factored storage (prepare.intraframe_params) costs one of the
+    # three gram-shaped einsums EVERY Adam iter.  When the dense C fits
+    # under this budget it is materialized ONCE per optimize_feature call
+    # instead (loop-invariant), cutting per-iter spatial GEMMs 3 -> 2.
+    # Stored in gram_dtype: in bf16 mode C is rounded once vs the
+    # factored path's f32-accumulated chunks — sign(G-C) can differ on
+    # near-ties (quality-neutral; gram_dtype="float32" stays bit-exact).
+    # [16, 4096, 4096] bf16 = 537 MB covers stage 3 at 512px/8 frames;
+    # set 0 to always reconstruct.
+    dense_corr_max_mb: float = 600.0
 
 
 def warp_matrix(flow: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
@@ -373,6 +384,17 @@ def optimize_feature(
         else:
             fwd_warp = warp_matrix(fwd_flow_s, gram_dtype)
             bwd_warp = warp_matrix(bwd_flow_s, gram_dtype)
+
+    if do_spatial and correlation.shape[1] != correlation.shape[2]:
+        b_c, hw_c = correlation.shape[:2]
+        dense_mb = b_c * hw_c * hw_c * jnp.dtype(gram_dtype).itemsize / 2**20
+        if dense_mb <= cfg.dense_corr_max_mb:
+            vr = correlation.astype(gram_dtype)
+            correlation = jax.lax.optimization_barrier(
+                jnp.einsum(
+                    "bic,bjc->bij", vr, vr, preferred_element_type=jnp.float32
+                ).astype(gram_dtype)
+            )
 
     x0 = sample.astype(work_dtype)
 

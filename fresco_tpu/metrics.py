@@ -55,10 +55,49 @@ def clip_frame_similarity(
     return float(jnp.mean(sims))
 
 
-def evaluate_translation(out_frames: np.ndarray, flow_fn) -> dict:
-    """Standard report for a translated clip (uint8 [F, H, W, 3])."""
+def make_clip_image_encoder(ckpt_path: str | None):
+    """(encoder_fn, params) for ``clip_frame_similarity`` from a
+    transformers CLIPVisionModel/CLIPModel checkpoint, or None when the
+    checkpoint is absent (offline) — callers fall back to the pixel
+    proxy.  encoder_fn(params, frames_255) -> L2-normalized [F, D]."""
+    import os
+
+    if not ckpt_path or not os.path.exists(ckpt_path):
+        return None
+    import jax
+
+    from fresco_tpu.models import convert as C
+    from fresco_tpu.models.clip_vision import (
+        CLIPVisionConfig, CLIPVisionEncoder, image_embeddings,
+    )
+
+    sd = C.load_torch_state_dict(ckpt_path)
+    cfg = CLIPVisionConfig()
+    model = CLIPVisionEncoder(cfg)
+    params = {"params": C.convert_clip_vision(sd, cfg)}
+    project = "visual_projection" in params["params"]
+
+    @jax.jit
+    def encode(p, frames_255):
+        return image_embeddings(
+            model, p, frames_255 / 127.5 - 1.0, project=project
+        )
+
+    return encode, params
+
+
+def evaluate_translation(
+    out_frames: np.ndarray, flow_fn, clip_encoder=None
+) -> dict:
+    """Standard report for a translated clip (uint8 [F, H, W, 3]).
+
+    ``clip_encoder``: optional (encoder_fn, params) from
+    ``make_clip_image_encoder`` — real CLIP frame similarity when
+    weights exist, pixel-cosine proxy otherwise."""
     x = jnp.asarray(out_frames, jnp.float32)
+    enc, params = clip_encoder if clip_encoder else (None, None)
     return {
         "warp_error": warp_error(x, flow_fn),
-        "frame_similarity": clip_frame_similarity(x),
+        "frame_similarity": clip_frame_similarity(x, enc, params),
+        "frame_similarity_is_clip": bool(enc),
     }

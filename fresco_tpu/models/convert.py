@@ -283,6 +283,38 @@ def convert_clip_text(
     return b.tree
 
 
+def convert_clip_vision(sd: Mapping[str, Any], cfg=None) -> dict:
+    """transformers CLIPVisionModel (or CLIPModel) state dict -> flax
+    params tree for ``clip_vision.CLIPVisionEncoder``.
+
+    Accepts either a bare vision tower (``vision_model.`` prefix, as
+    CLIPVisionModel saves) or a full CLIPModel checkpoint, in which case
+    ``visual_projection`` is converted too (enables ``project=True``
+    image embeddings for the BASELINE.md frame-similarity metric)."""
+    from fresco_tpu.models.clip_vision import CLIPVisionConfig
+
+    cfg = cfg or CLIPVisionConfig()
+    b = _Builder(sd)
+    p = "vision_model." if any(k.startswith("vision_model.") for k in sd) else ""
+    b.raw_conv("patch_embedding", f"{p}embeddings.patch_embedding")
+    _set(b.tree, "class_embedding", _np(b._get(f"{p}embeddings.class_embedding")))
+    b.embed("position_embedding", f"{p}embeddings.position_embedding")
+    b.norm("pre_layrnorm", f"{p}pre_layrnorm", wrapped=False)
+    for i in range(cfg.num_layers):
+        s = f"{p}encoder.layers.{i}"
+        d = f"layers_{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            b.norm(f"{d}/{ln}", f"{s}.{ln}", wrapped=False)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            b.dense(f"{d}/self_attn/{proj}", f"{s}.self_attn.{proj}")
+        b.dense(f"{d}/mlp_fc1", f"{s}.mlp.fc1")
+        b.dense(f"{d}/mlp_fc2", f"{s}.mlp.fc2")
+    b.norm("post_layernorm", f"{p}post_layernorm", wrapped=False)
+    if b.has("visual_projection.weight"):
+        b.dense("visual_projection", "visual_projection")
+    return b.tree
+
+
 def load_torch_state_dict(path: str) -> dict:
     """Load a .pth/.bin/.safetensors checkpoint into numpy arrays."""
     if path.endswith(".safetensors"):

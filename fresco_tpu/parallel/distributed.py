@@ -20,6 +20,30 @@ import jax
 from jax.sharding import Mesh
 
 
+# env vars whose presence marks a multi-process launch we can rendezvous
+# from without arguments: TPU pod runtimes export worker topology; Slurm
+# exports rank (reference dist_utils.py:40-71 reads the same Slurm vars).
+_CLUSTER_ENV_VARS = (
+    "TPU_WORKER_HOSTNAMES",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "SLURM_PROCID",
+)
+
+
+def _already_initialized() -> bool:
+    """Whether jax.distributed.initialize has already run — WITHOUT
+    touching backend-initializing APIs (jax.process_count() would
+    initialize XLA and make a later initialize() impossible)."""
+    try:
+        from jax._src import distributed as _jd
+
+        return getattr(_jd.global_state, "client", None) is not None
+    except Exception:  # pragma: no cover - private-API drift
+        return False
+
+
 def initialize(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -32,27 +56,36 @@ def initialize(
     reference's MPI/Slurm rendezvous (dist_utils.py:33-71) for
     CPU/GPU fleets.  Returns True if distributed mode is active,
     False for the single-process fallback (never raises — single-host
-    dev boxes just proceed locally)."""
-    if jax.process_count() > 1:
-        return True  # already initialized
-    try:
-        kwargs = {}
-        if coordinator_address is not None:
-            kwargs["coordinator_address"] = coordinator_address
-        if num_processes is not None:
-            kwargs["num_processes"] = num_processes
-        if process_id is not None:
-            kwargs["process_id"] = process_id
-        elif "SLURM_PROCID" in os.environ and num_processes is not None:
-            # Slurm rendezvous parity (dist_utils.py:40-71)
-            kwargs["process_id"] = int(os.environ["SLURM_PROCID"])
-        if not kwargs and jax.default_backend() != "tpu":
-            return False  # nothing to autodetect off-TPU
-        jax.distributed.initialize(**kwargs)
+    dev boxes just proceed locally).
+
+    Must run before any backend-initializing JAX call: this function
+    deliberately avoids jax.process_count()/jax.default_backend() and
+    decides the no-args autodetect path from cluster env vars instead
+    (r2 advisor: probing the backend first made initialize() always a
+    no-op that silently degraded N-host launches to N independent runs).
+    """
+    if _already_initialized():
         return jax.process_count() > 1
-    except Exception as e:  # pragma: no cover - environment dependent
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    elif "SLURM_PROCID" in os.environ and num_processes is not None:
+        # Slurm rendezvous parity (dist_utils.py:40-71)
+        kwargs["process_id"] = int(os.environ["SLURM_PROCID"])
+    if not kwargs and not any(v in os.environ for v in _CLUSTER_ENV_VARS):
+        return False  # single-process launch: nothing to rendezvous with
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # pragma: no cover - environment dependent
+        # the one expected failure: XLA already initialized (some other
+        # import touched the backend first) — fall back, loudly
         print(f"[fresco_tpu] single-process mode ({e})")
         return False
+    return jax.process_count() > 1
 
 
 def is_main_process() -> bool:
@@ -70,9 +103,11 @@ def make_global_mesh(model: int = 1, *, data: int | None = None) -> Mesh:
     """
     devices = jax.devices()
     per_host = max(jax.local_device_count(), 1)
-    if model > per_host:
+    if model > per_host or per_host % model != 0:
+        # non-divisors would make the row-major (data, model) reshape
+        # straddle host boundaries even when model < per_host
         raise ValueError(
-            f"model={model} spans hosts (local devices: {per_host}); "
+            f"model={model} must divide devices-per-host ({per_host}); "
             "TP groups must stay inside the ICI domain"
         )
     n = len(devices)

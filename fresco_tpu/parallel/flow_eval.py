@@ -21,7 +21,7 @@ def pad_to_multiple(img: np.ndarray, factor: int = 16, mode: str = "sintel"):
     """Replicate-pad H/W up to a multiple of ``factor``.
 
     Returns (padded, crop) where ``crop`` recovers the original region
-    (sintel: centered; kitti: pad top only — utils/utils.py:8-23).
+    (sintel: centered; kitti: pad bottom only — utils/utils.py:8-23).
     Default 16 = upsample_factor 8 x attn_splits 2: the 1/8-res feature
     map must split evenly into GMFlow's swin windows."""
     h, w = img.shape[-3:-1]
@@ -29,8 +29,9 @@ def pad_to_multiple(img: np.ndarray, factor: int = 16, mode: str = "sintel"):
     pw = (-w) % factor
     if mode == "sintel":
         pads = ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2))
-    else:  # kitti: pad bottom=0/top=ph per reference [0, pad_ht] on dim -2
-        pads = ((ph, 0), (pw // 2, pw - pw // 2))
+    else:  # kitti: reference F.pad(..., [.., .., 0, pad_ht]) — the height
+        # pair is (top, bottom), i.e. BOTTOM-only padding (r2 advisor fix)
+        pads = ((0, ph), (pw // 2, pw - pw // 2))
     full = [(0, 0)] * (img.ndim - 3) + [pads[0], pads[1], (0, 0)]
     out = np.pad(img, full, mode="edge")
     crop = (slice(pads[0][0], pads[0][0] + h), slice(pads[1][0], pads[1][0] + w))

@@ -57,6 +57,11 @@ class ModelBundle:
     tokenizer: Any
     detector: Callable[[np.ndarray], np.ndarray]
     saliency_fn: Callable[[np.ndarray], jnp.ndarray] | None
+    # optional override for the bidirectional flow fn (same contract as
+    # gmflow.apply: (frames, rolled) -> [2F, H, W, 2]).  Used by the
+    # bench/tests to supply realistic flows when GMFlow weights are
+    # unavailable (random-weight flows make occlusion masks degenerate)
+    flow_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None
 
 
 def _canny_detector(img: np.ndarray) -> np.ndarray:
@@ -333,7 +338,9 @@ class FrescoPipeline:
 
     # --- jittable param-prep wrappers -------------------------------------
     def _interframe(self, params, frames_255):
-        flow_fn = lambda a, b: self.bundle.gmflow.apply(params["gmflow"], a, b)
+        flow_fn = self.bundle.flow_fn or (
+            lambda a, b: self.bundle.gmflow.apply(params["gmflow"], a, b)
+        )
         return prepare.interframe_params(
             flow_fn, frames_255, photo_thresh=self.config.photo_occ_thresh
         )
@@ -455,7 +462,18 @@ class FrescoPipeline:
         flow_fn = jax.jit(
             lambda a, bb: b.gmflow.apply(b.params["gmflow"], a, bb)
         )
-        return metrics.evaluate_translation(frames, flow_fn)
+        # real CLIP frame similarity when a vision checkpoint sits next
+        # to the other model files (BASELINE.md metric; proxy otherwise)
+        ckpt_dir = os.path.dirname(str(self.config.gmflow_path)) or "."
+        clip_enc = None
+        for name in ("clip_vision.safetensors", "clip_vision.bin",
+                     "clip_model.safetensors"):
+            clip_enc = metrics.make_clip_image_encoder(
+                os.path.join(ckpt_dir, name)
+            )
+            if clip_enc:
+                break
+        return metrics.evaluate_translation(frames, flow_fn, clip_enc)
 
     def _shard_batch(self, x):
         """Place a frame-major array on the mesh: leading axis over 'data'

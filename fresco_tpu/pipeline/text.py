@@ -93,7 +93,12 @@ def encode_prompts(
     return jnp.take(emb, jnp.asarray([index[t] for t in texts]), axis=0)
 
 
-_ENCODE_JIT_CACHE: dict = {}
+# weak keys: a dead encoder's entry (and the compiled closure pinning it)
+# is collectable, so repeated pipeline construction doesn't leak (r2
+# advisor: the id()-keyed dict grew unboundedly and pinned encoders alive)
+import weakref
+
+_ENCODE_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _jitted_apply(text_encoder, clip_skip: int):
@@ -102,11 +107,15 @@ def _jitted_apply(text_encoder, clip_skip: int):
     remote-tunnel TPU vs ~10 ms jitted."""
     import jax
 
-    key = (id(text_encoder), clip_skip)
-    fn = _ENCODE_JIT_CACHE.get(key)
+    per_skip = _ENCODE_JIT_CACHE.get(text_encoder)
+    if per_skip is None:
+        per_skip = _ENCODE_JIT_CACHE[text_encoder] = {}
+    fn = per_skip.get(clip_skip)
     if fn is None:
-        fn = jax.jit(
-            lambda p, ids: text_encoder.apply(p, ids, clip_skip=clip_skip)
+        # weak capture: a strong ref in the closure would keep the weak
+        # KEY alive through the cache's own value, defeating eviction
+        enc_ref = weakref.ref(text_encoder)
+        fn = per_skip[clip_skip] = jax.jit(
+            lambda p, ids: enc_ref().apply(p, ids, clip_skip=clip_skip)
         )
-        _ENCODE_JIT_CACHE[key] = fn
     return fn

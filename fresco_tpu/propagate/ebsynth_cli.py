@@ -12,10 +12,12 @@ consumes).
         -output out.png -searchvoteiters 12 -patchmatchiters 6 \
         -backend tpu
 
-``-backend tpu`` (default) runs the jump-flood device synthesizer;
-``-backend cpu`` runs the C++ serpentine parity backend.  ``cuda`` is
-accepted and mapped to tpu.  ``-stopthreshold`` is accepted for CLI
-compatibility; the jump-flood design runs fixed data-parallel sweeps.
+``-backend tpu`` (default) runs the jump-flood device synthesizer with
+the reference CUDA backend's ``-stopthreshold`` semantics (per-pixel
+freeze mask + whole-level early exit, ebsynth_cuda.cu:538-583);
+``-backend cpu`` runs the C++ serpentine parity backend, which — like
+the reference CPU backend — compiles the stop mask out.  ``cuda`` is
+accepted and mapped to tpu.
 """
 from __future__ import annotations
 
@@ -128,6 +130,7 @@ def main(argv=None):
         style_weight=opts["style_weight"],
         num_pyramid_levels=opts["pyramidlevels"],
         extra_pass_3x3=opts["extrapass3x3"],
+        stop_threshold=float(opts["stopthreshold"]),
     )
     out, err, _ = synthesize(
         jnp.asarray(style),

@@ -87,21 +87,23 @@ def inpaint_occluded(
 
 
 def positional_chain(
-    h: int, w: int, bwd_flows: list[np.ndarray], occs: list[np.ndarray]
+    h: int, w: int, bwd_flows: list[np.ndarray], occs: list[np.ndarray],
+    method: str = "pushpull",
 ) -> list[np.ndarray]:
     """Coordinate image warped along the flow chain with inpainting
     (guide.py:26-49).  Returns interval+1 guides."""
     imgs = [positional_first(h, w)]
     for flow, occ in zip(bwd_flows, occs):
         cur = warp_nearest(imgs[-1], flow).astype(np.uint8)
-        cur = inpaint_occluded(cur, occ)
+        cur = inpaint_occluded(cur, occ, method=method)
         imgs.append(cur)
     return imgs
 
 
 def temporal_guide(
-    prev_stylized: np.ndarray, bwd_flow: np.ndarray, occ: np.ndarray
+    prev_stylized: np.ndarray, bwd_flow: np.ndarray, occ: np.ndarray,
+    method: str = "pushpull",
 ) -> np.ndarray:
     """Previous stylized frame warped forward + inpainted (guide.py:79-104)."""
     warped = warp_nearest(prev_stylized, bwd_flow).astype(np.uint8)
-    return inpaint_occluded(warped, occ)
+    return inpaint_occluded(warped, occ, method=method)

@@ -42,6 +42,15 @@ class PatchMatchConfig:
     num_pyramid_levels: int = -1  # -1 => auto
     rand_candidates: int = 4
     extra_pass_3x3: bool = False
+    # -stopthreshold (ebsynth.cpp:342 default 5): a pixel whose voted
+    # style changed < this (max abs channel diff) since the previous
+    # search-vote iteration is frozen (mask dilated by patch — CUDA
+    # backend krnlEvalMask/krnlDilateMask, ebsynth_cuda.cu:538-583; the
+    # CPU backend compiles the same logic out).  On TPU the per-pixel
+    # freeze saves no work (data-parallel sweeps), but when EVERY pixel
+    # freezes the remaining search-vote iterations are skipped entirely
+    # (lax.while_loop early exit).  0 disables.
+    stop_threshold: float = 5.0
 
 
 def _pyramid_sizes(h: int, w: int, t_h: int, t_w: int, patch: int, max_levels: int):
@@ -148,7 +157,10 @@ def _omega(nnf_y, nnf_x, sh, sw, patch):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patch", "pm_iters", "sv_iters", "uniformity", "rand_candidates"),
+    static_argnames=(
+        "patch", "pm_iters", "sv_iters", "uniformity", "rand_candidates",
+        "stop_threshold",
+    ),
 )
 def _synthesize_level(
     src_all,        # [sh, sw, C] style+guides (source)
@@ -164,6 +176,7 @@ def _synthesize_level(
     sv_iters: int,
     uniformity: float,
     rand_candidates: int,
+    stop_threshold: float = 0.0,
 ):
     sh, sw = src_all.shape[:2]
     th, tw = tgt_guides.shape[:2]
@@ -222,9 +235,27 @@ def _synthesize_level(
 
     shifts = [1, 2, 4, 8]
 
-    def sv_iter(carry, it):
-        nnf_, rng_ = carry
+    def sv_iter(carry):
+        nnf_, rng_, it, prev_style, _ = carry
         tgt_style = vote(nnf_)
+        # -stopthreshold freeze mask (ebsynth_cuda.cu:538-583): pixels
+        # whose voted style moved < threshold since the last vote are
+        # frozen for this iteration; the mask is dilated by the patch
+        # size.  Iteration 0 (prev seeded at -inf) is fully active.
+        if stop_threshold > 0:
+            diff = jnp.max(jnp.abs(tgt_style - prev_style), axis=-1)
+            changed = (diff >= stop_threshold).astype(jnp.float32)
+            pd = patch // 2
+            cpad = jnp.pad(
+                changed[None, :, :, None], ((0, 0), (pd, pd), (pd, pd), (0, 0))
+            )
+            dil = jax.lax.reduce_window(
+                cpad, 0.0, jax.lax.max, (1, patch, patch, 1), (1, 1, 1, 1),
+                "VALID",
+            )
+            active = dil[0, :, :, 0] > 0  # [th, tw] bool
+        else:
+            active = jnp.ones((th, tw), bool)
         tgt_s_patches = _target_patches(tgt_style, patch).astype(jnp.bfloat16)
         # interleave per-offset [style|guide] channels to match src_all's
         # channel order inside each offset block
@@ -268,16 +299,44 @@ def _synthesize_level(
                 by, bx, be = consider(
                     by, bx, be, by + delta[..., 0], bx + delta[..., 1]
                 )
-            return (jnp.stack([by, bx], axis=-1), rng2), be
+            # frozen pixels keep their match (reference skips their
+            # propagation/search kernels entirely, ebsynth_cuda.cu:207)
+            upd = jnp.stack([by, bx], axis=-1)
+            nnf3 = jnp.where(active[..., None], upd, nnf2)
+            return (nnf3, rng2), None
 
-        (nnf_, rng_), errs = jax.lax.scan(
+        (nnf_, rng_), _ = jax.lax.scan(
             pm_iter, (nnf_, jax.random.fold_in(rng_, it)), jnp.arange(pm_iters)
         )
-        return (nnf_, rng_), errs[-1]
+        return (nnf_, rng_, it + 1, tgt_style, jnp.any(active))
 
-    (nnf, rng), errs = jax.lax.scan(sv_iter, (nnf, rng), jnp.arange(sv_iters))
+    state = (
+        nnf, rng, jnp.int32(0),
+        jnp.full((th, tw, cs), -1e9, jnp.float32),  # prev vote: iter 0 active
+        jnp.array(True),
+    )
+    state = jax.lax.while_loop(
+        # early exit when every pixel froze: the reference's remaining
+        # iterations would be full no-ops at that point
+        lambda s: (s[2] < sv_iters) & s[4],
+        sv_iter,
+        state,
+    )
+    nnf = state[0]
     out = vote(nnf)
-    return nnf, out, errs[-1]
+    # final error at the converged NNF (the reference serializes E from
+    # the last pm pass — same matches, same error)
+    tgt_s_patches = _target_patches(out, patch).astype(jnp.bfloat16)
+    tgt_all_patches = jnp.concatenate(
+        [tgt_s_patches, tgt_g_patches], axis=-1
+    ).reshape(th, tw, -1)
+    omega_map = _omega(nnf[..., 0], nnf[..., 1], sh, sw, patch)
+    omega_col = (
+        (uniformity / omega_best) * omega_map.reshape(sh * sw, 1)
+    ).astype(src_patches.dtype)
+    table = jnp.concatenate([src_patches, omega_col], axis=1)
+    _, _, err = eval_cand(nnf[..., 0], nnf[..., 1], tgt_all_patches, table)
+    return nnf, out, err
 
 
 def synthesize(
@@ -341,6 +400,7 @@ def synthesize(
             sv_iters=cfg.sv_iters,
             uniformity=cfg.uniformity,
             rand_candidates=cfg.rand_candidates,
+            stop_threshold=cfg.stop_threshold,
         )
     if cfg.extra_pass_3x3:
         # finest level rerun with 3x3 patches and uniformity off, seeded
@@ -354,6 +414,7 @@ def synthesize(
             sv_iters=cfg.sv_iters,
             uniformity=0.0,
             rand_candidates=cfg.rand_candidates,
+            stop_threshold=cfg.stop_threshold,
         )
     return out, err, nnf
 
@@ -444,6 +505,7 @@ def synthesize_batch(
             sv_iters=cfg.sv_iters,
             uniformity=cfg.uniformity,
             rand_candidates=cfg.rand_candidates,
+            stop_threshold=cfg.stop_threshold,
         ),
         in_axes=(0, 0, 0, None, None, 0, 0),
     )
@@ -485,6 +547,7 @@ def synthesize_batch(
                 sv_iters=cfg.sv_iters,
                 uniformity=0.0,
                 rand_candidates=cfg.rand_candidates,
+                stop_threshold=cfg.stop_threshold,
             ),
             in_axes=(0, 0, 0, None, None, 0, 0),
         )

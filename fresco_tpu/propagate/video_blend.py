@@ -87,7 +87,8 @@ class _FlowCache:
 
 
 def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng,
-                           backend: str = "tpu"):
+                           backend: str = "tpu",
+                           inpaint_method: str = "pushpull"):
     """Advance the forward and backward chains of one interval in
     lockstep — replaces the reference's per-direction subprocess
     fan-out (video_blend.py:67-106).  Directions run as two single-job
@@ -110,7 +111,10 @@ def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng,
     src_stacks = []
     for d in range(2):
         frames, flows = frames_pair[d], flows_pair[d]
-        pg = positional_chain(h, w, [f for f, _ in flows], [o for _, o in flows])
+        pg = positional_chain(
+            h, w, [f for f, _ in flows], [o for _, o in flows],
+            method=inpaint_method,
+        )
         pos_guides.append(pg)
         edge_srcs.append(edge_guide(frames[0]))
         src_stacks.append(
@@ -135,7 +139,8 @@ def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng,
             frames, flows = frames_pair[d], flows_pair[d]
             bwd_flow, bwd_occ = flows[j - 1]
             temporal = inpaint_occluded(
-                warp_nearest(prev_stylized[d], bwd_flow).astype(np.uint8), bwd_occ
+                warp_nearest(prev_stylized[d], bwd_flow).astype(np.uint8),
+                bwd_occ, method=inpaint_method,
             )
             tgt_stacks.append(
                 np.concatenate(
@@ -174,6 +179,7 @@ def blend_video(
     reuse_synthesis: bool = False,
     keep_tmp: bool = True,
     synth_backend: str = "tpu",
+    inpaint_method: str = "pushpull",
 ):
     """Reference video_blend.py main flow.  Reads base_dir/video/%04d.png
     and base_dir/<key_dir>/%04d.png, writes base_dir/blend/%04d.png and
@@ -184,7 +190,10 @@ def blend_video(
     flows in base_dir/tmp are loaded instead of recomputed.
     ``synth_backend``: 'tpu' (jump-flood on device) or 'native' (the
     C++/OpenMP serpentine backend — the better choice on many-core
-    hosts without a chip, mirroring the reference's CPU path)."""
+    hosts without a chip, mirroring the reference's CPU path).
+    ``inpaint_method``: 'pushpull' (fast pyramid fill, default) or
+    'telea' (reference guide.py:40,99-101 exact parity, ~450x slower
+    per guide)."""
     video_dir = os.path.join(base_dir, "video")
     blend_dir = os.path.join(base_dir, "blend")
     tmp_dir = os.path.join(base_dir, "tmp")
@@ -246,6 +255,7 @@ def blend_video(
                 patch_cfg,
                 jax.random.fold_in(rng, seq_i),
                 backend=synth_backend,
+                inpaint_method=inpaint_method,
             )
             bwd_out, bwd_err = bwd_out[::-1], bwd_err[::-1]
             if keep_tmp and fwd_out:
@@ -360,6 +370,9 @@ def main(argv=None):
     p.add_argument("--backend", type=str, default="tpu",
                    choices=["tpu", "native"],
                    help="patch-synthesis backend (native = C++ serpentine)")
+    p.add_argument("--inpaint", type=str, default="pushpull",
+                   choices=["pushpull", "telea"],
+                   help="guide inpainting (telea = reference parity)")
     p.add_argument("--fps", type=float, default=30)
     p.add_argument("--key_ind", type=int, nargs="+", required=True)
     p.add_argument("--key", type=str, default="keys")
@@ -372,6 +385,7 @@ def main(argv=None):
     blend_video(
         a.name, a.key_ind, a.key, a.output, a.fps, a.n_proc, poisson=a.ps,
         reuse_synthesis=a.ne, keep_tmp=True, synth_backend=a.backend,
+        inpaint_method=a.inpaint,
     )
 
 

@@ -14,7 +14,10 @@ def test_flash_matches_naive(rng, sq, sk, d):
     k = rng.standard_normal((b, h, sk, d)).astype(np.float32)
     v = rng.standard_normal((b, h, sk, d)).astype(np.float32)
     out = np.asarray(
-        flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), block_q=128, block_k=128)
+        flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            block_q=128, block_k=128, interpret=True,
+        )
     )
     ref = np.asarray(naive_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
@@ -29,7 +32,7 @@ def test_flash_key_mask(rng):
     out = np.asarray(
         flash_attention(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
-            block_q=64, block_k=128,
+            block_q=64, block_k=128, interpret=True,
         )
     )
     ref = np.asarray(
@@ -45,7 +48,10 @@ def test_flash_all_masked_is_zero(rng):
     v = rng.standard_normal((b, h, sk, d)).astype(np.float32)
     mask = np.zeros((b, sk), dtype=bool)
     out = np.asarray(
-        flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask))
+        flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+            interpret=True,
+        )
     )
     assert np.all(np.isfinite(out))
 
@@ -58,7 +64,7 @@ def test_flash_bf16(rng):
     out = np.asarray(
         flash_attention(
             jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
-            jnp.asarray(v, jnp.bfloat16),
+            jnp.asarray(v, jnp.bfloat16), interpret=True,
         ).astype(jnp.float32)
     )
     ref = np.asarray(naive_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
@@ -86,5 +92,59 @@ def test_cross_frame_compaction_matches_dense(rng):
     perm = jnp.argsort(~flat, stable=True)[:cap]
     comp = cross_frame_attention(
         q, k, v, mask, chunk, heads, key_perm=(perm, jnp.take(flat, perm))
+    )
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(dense), atol=1e-5)
+
+
+def test_auto_cap_exact_on_real_flow_masks(rng):
+    """cf_key_cap='auto' on masks built from REAL flows (bundled clip +
+    Farneback) must never truncate, and the compacted cross-frame
+    attention must equal the dense masked path exactly (VERDICT r2
+    item 4 done-criterion)."""
+    import cv2
+
+    from conftest import REFERENCE, has_reference
+    from fresco_tpu.attention.fresco_attention import cross_frame_attention
+    from fresco_tpu.pipeline import prepare
+    from fresco_tpu.utils.classic_flow import make_flow_fn
+
+    if not has_reference():
+        pytest.skip("reference repo (bundled clip) not mounted")
+    cap = cv2.VideoCapture(str(REFERENCE / "data/music.mp4"))
+    frames = []
+    for _ in range(16):
+        ok, f = cap.read()
+        assert ok
+        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+    cap.release()
+    keys = [cv2.resize(frames[i], (128, 128)) for i in range(0, 16, 5)]
+
+    flow_fn = make_flow_fn(keys)
+    _, _, cf_masks, _ = prepare.interframe_params(
+        flow_fn, jnp.asarray(np.stack(keys), jnp.float32)
+    )
+    attn = prepare.build_attn_params(
+        cf_masks, None, None, cf_key_cap="auto"
+    )
+    assert attn.cf_perms is not None and attn.cf_perms.keys() == cf_masks.keys()
+
+    f = len(keys)
+    for hw, mask in cf_masks.items():
+        perm, pmask = attn.cf_perms[hw]
+        n_valid = int(np.asarray(mask).sum())
+        assert n_valid <= perm.shape[0], "auto cap must never truncate"
+        assert int(np.asarray(pmask).sum()) == n_valid
+        # realistic masks are sparse: the cap should be well under dense
+        if hw >= 64:
+            assert perm.shape[0] <= (f // 2) * hw
+
+    hw = sorted(cf_masks.keys())[-1]
+    c, heads, chunk = 16, 4, 2
+    q = jnp.asarray(rng.standard_normal((chunk * f, hw, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((chunk * f, hw, c)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((chunk * f, hw, c)), jnp.float32)
+    dense = cross_frame_attention(q, k, v, cf_masks[hw], chunk, heads)
+    comp = cross_frame_attention(
+        q, k, v, cf_masks[hw], chunk, heads, key_perm=attn.cf_perms[hw]
     )
     np.testing.assert_allclose(np.asarray(comp), np.asarray(dense), atol=1e-5)
