@@ -157,12 +157,14 @@ _CF_TRUNCATION_WARNED: set = set()
 
 def auto_cf_key_cap(n_valid: int, hw: int, f: int) -> int:
     """Compaction cap sized from the measured valid-key count: the next
-    multiple of hw >= n_valid (bounded by the dense F*hw).  hw-multiples
-    keep the number of distinct jit shapes small across batches while
-    never truncating — exact reference attention semantics
-    (diffusion_hacked.py:225-247 attends ALL valid keys) at compacted
-    cost."""
-    return int(min(max(-(-n_valid // hw), 1) * hw, f * hw))
+    multiple of max(hw/2, 128) >= n_valid (bounded by the dense F*hw).
+    Half-hw granularity keeps the number of distinct jit shapes small
+    across batches while never truncating — exact reference attention
+    semantics (diffusion_hacked.py:225-247 attends ALL valid keys) at
+    compacted cost (real-content masks measure ~1.3*hw valid ->
+    cap 1.5*hw, 25% less flash key work than hw-rounding)."""
+    g = max(hw // 2, 128)
+    return int(min(max(-(-n_valid // g), 1) * g, f * hw))
 
 
 def build_attn_params(

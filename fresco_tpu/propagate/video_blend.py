@@ -219,51 +219,65 @@ def blend_video(
     fcache = _FlowCache(flow_fn, {}, tmp_dir)
     rng = jax.random.key(seed)
 
-    t0 = time.time()
-    for seq_i in range(len(key_ind) - 1):
+    def synth_interval(seq_i):
+        """Synthesize both chains of one interval (device-heavy half).
+
+        Returns (fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows)."""
         beg, end = key_ind[seq_i], key_ind[seq_i + 1]
         interval = end - beg
         seq_frames = [frames[i] for i in range(beg, end + 1)]
         rev_frames = seq_frames[::-1]
 
         synth_cache = os.path.join(tmp_dir, f"synth_{beg}_{end}.npz")
+        fwd_flows = [
+            fcache.get(seq_frames, j, tag=f"f{beg}_{j}")
+            for j in range(max(interval - 1, 0))
+        ]
         if reuse_synthesis and os.path.exists(synth_cache):
             z = np.load(synth_cache)
-            fwd_out = list(z["fwd_out"])
-            fwd_err = list(z["fwd_err"])
-            bwd_out = list(z["bwd_out"])
-            bwd_err = list(z["bwd_err"])
-            fwd_flows = [
-                fcache.get(seq_frames, j, tag=f"f{beg}_{j}")
-                for j in range(max(interval - 1, 0))
-            ]
-        else:
-            fwd_flows = [
-                fcache.get(seq_frames, j, tag=f"f{beg}_{j}")
-                for j in range(max(interval - 1, 0))
-            ]
-            bwd_flows = [
-                fcache.get(rev_frames, j, tag=f"b{end}_{j}")
-                for j in range(max(interval - 1, 0))
-            ]
+            return (list(z["fwd_out"]), list(z["fwd_err"]),
+                    list(z["bwd_out"]), list(z["bwd_err"]), fwd_flows)
+        bwd_flows = [
+            fcache.get(rev_frames, j, tag=f"b{end}_{j}")
+            for j in range(max(interval - 1, 0))
+        ]
 
-            # both directions advance in lockstep as one device batch
-            (fwd_out, fwd_err), (bwd_out, bwd_err) = _synthesize_chain_pair(
-                (keys[beg], keys[end]),
-                (seq_frames, rev_frames),
-                (fwd_flows, bwd_flows),
-                patch_cfg,
-                jax.random.fold_in(rng, seq_i),
-                backend=synth_backend,
-                inpaint_method=inpaint_method,
+        # both directions advance in lockstep as one device batch
+        (fwd_out, fwd_err), (bwd_out, bwd_err) = _synthesize_chain_pair(
+            (keys[beg], keys[end]),
+            (seq_frames, rev_frames),
+            (fwd_flows, bwd_flows),
+            patch_cfg,
+            jax.random.fold_in(rng, seq_i),
+            backend=synth_backend,
+            inpaint_method=inpaint_method,
+        )
+        bwd_out, bwd_err = bwd_out[::-1], bwd_err[::-1]
+        if keep_tmp and fwd_out:
+            np.savez(
+                synth_cache,
+                fwd_out=np.stack(fwd_out), fwd_err=np.stack(fwd_err),
+                bwd_out=np.stack(bwd_out), bwd_err=np.stack(bwd_err),
             )
-            bwd_out, bwd_err = bwd_out[::-1], bwd_err[::-1]
-            if keep_tmp and fwd_out:
-                np.savez(
-                    synth_cache,
-                    fwd_out=np.stack(fwd_out), fwd_err=np.stack(fwd_err),
-                    bwd_out=np.stack(bwd_out), bwd_err=np.stack(bwd_err),
-                )
+        return fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows
+
+    # Interval concurrency (VERDICT r2 item 8; replaces the reference's
+    # 8-process fan-out, video_blend.py:114-139): intervals are
+    # independent, so a depth-1 prefetch thread runs interval k+1's
+    # device synthesis while the host blends interval k (histogram +
+    # Poisson are CPU work that would otherwise leave the chip idle).
+    from concurrent.futures import ThreadPoolExecutor
+
+    executor = ThreadPoolExecutor(max_workers=1)
+    n_seq = len(key_ind) - 1
+    t0 = time.time()
+    nxt = executor.submit(synth_interval, 0) if n_seq else None
+    for seq_i in range(n_seq):
+        beg, end = key_ind[seq_i], key_ind[seq_i + 1]
+        interval = end - beg
+        fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows = nxt.result()
+        if seq_i + 1 < n_seq:
+            nxt = executor.submit(synth_interval, seq_i + 1)
 
         # --- per-frame blending (video_blend.py:212-255) -----------------
         cv2.imwrite(os.path.join(blend_dir, "%04d.png" % beg), keys[beg])
@@ -295,6 +309,7 @@ def blend_video(
                       + weight1 * ob.astype(np.float32)).astype(np.uint8)
             res = poisson_fusion(hb, oa, ob, mask) if poisson else hb
             cv2.imwrite(os.path.join(blend_dir, "%04d.png" % c_id), res)
+    executor.shutdown(wait=False)
     cv2.imwrite(
         os.path.join(blend_dir, "%04d.png" % key_ind[-1]), keys[key_ind[-1]]
     )

@@ -24,7 +24,11 @@ from fresco_tpu.core.cache import enable_compilation_cache
 
 
 def fetch(x):
-    return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
+    # slice ON DEVICE first: np.asarray(full) would pull the whole
+    # tensor through the tunnel (~1.4 s for 268 MB — it swamped the
+    # compute entirely in the first version of this script)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(jnp.ravel(leaf)[:1])
 
 
 def timeit(fn, *args, iters=10):

@@ -75,3 +75,45 @@ def test_blend_video_end_to_end(tmp_path, rng):
     # a candidate-indexing regression (ghosting) drags this down
     assert report["frame_similarity"] > 0.5, report
     assert report["warp_error"] < 100.0, report
+
+
+@pytest.mark.slow
+def test_blend_video_multi_interval_prefetch(tmp_path, rng):
+    """Multiple keyframe intervals through the depth-1 prefetch pipeline
+    (interval k+1 synthesizes while interval k blends) — all frames must
+    be written and ordered, matching the sequential semantics."""
+    cv2 = pytest.importorskip("cv2")
+    from fresco_tpu.models.gmflow import GMFlow, GMFlowConfig
+    from fresco_tpu.propagate.patchmatch import PatchMatchConfig
+    from fresco_tpu.propagate.video_blend import blend_video
+
+    h = w = 48
+    os.makedirs(tmp_path / "video")
+    os.makedirs(tmp_path / "keys")
+    base = rng.integers(30, 120, (h, w, 3)).astype(np.uint8)
+    for i in range(7):
+        f = base.copy()
+        f[10 : 10 + 2 * i + 4, 8:24] = (60, 200, 60)
+        cv2.imwrite(str(tmp_path / "video" / ("%04d.png" % i)), f)
+        if i in (0, 3, 6):
+            cv2.imwrite(str(tmp_path / "keys" / ("%04d.png" % i)), 255 - f)
+
+    model = GMFlow(GMFlowConfig.tiny())
+    z = jnp.zeros((1, h, w, 3))
+    params = model.init(jax.random.key(0), z, z)
+    flow_fn = jax.jit(lambda a, b: model.apply(params, a, b))
+
+    out_dir = blend_video(
+        str(tmp_path),
+        key_ind=[0, 3, 6],
+        poisson=False,
+        flow_fn=flow_fn,
+        patch_cfg=PatchMatchConfig(
+            patch_size=5, pm_iters=1, sv_iters=1, num_pyramid_levels=1
+        ),
+    )
+    frames = sorted(pathlib.Path(out_dir).glob("*.png"))
+    assert [f.name for f in frames] == ["%04d.png" % i for i in range(7)]
+    for f in frames:
+        img = cv2.imread(str(f))
+        assert img is not None and img.shape == (h, w, 3)
