@@ -196,8 +196,9 @@ def main():
         json.dumps(
             {
                 "metric": "full-FRESCO keyframes/sec/chip @512px batch 8 "
-                          "(cf+spatial+traj attn, 20-iter feature opt, bg "
-                          "smoothing, 20 steps)",
+                          "(EXACT cf+spatial+traj attention via auto key "
+                          "cap on real-flow masks, 20-iter feature opt, "
+                          "bg smoothing, 20 steps)",
                 "value": round(full, 4),
                 "unit": "keyframes/sec",
                 "vs_baseline": round(full / A100_PROXY_KEYFRAMES_PER_SEC, 3),

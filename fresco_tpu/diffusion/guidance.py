@@ -22,6 +22,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -45,7 +47,14 @@ class GuidanceConfig:
     # row gathers + segment_sum to scalar-ish loops.  "sparse" = exact
     # 4-tap bilinear gather with a sorted-segment-sum backward; O(hw)
     # work and no big matrices — the right mode off-TPU (CPU tests) or
-    # if XLA's TPU gather emitter improves.
+    # if XLA's TPU gather emitter improves.  "banded" = block-banded
+    # warp matrices at the finest stage (window of 3 row-blocks of
+    # hw/8): exact while banded_warp_ok holds, 5/8 fewer FLOPs — but
+    # MEASURED NOT FASTER on the v5e (scripts/bench_banded_warp.py:
+    # fwd 4.4 vs 4.9 ms, grad 7.2 vs 3.4 ms — the batch-64 small GEMMs
+    # run at ~33 TF/s vs ~70 for the dense batch-8 shape, Pallas same,
+    # and the window-stack VJP overlap-add dominates the backward), so
+    # "dense" stays the TPU default.
     warp_mode: str = "dense"
     # dtype of the gram-matrix matmuls (the FLOPs hot spot: [B, hw, hw]
     # per decoder stage per Adam iter).  bf16 inputs + fp32 accumulation
@@ -91,6 +100,74 @@ def warp_matrix(flow: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     # one-hot construction into every Adam iteration's matmul operands
     # (measured: per-iter slope doubled)
     return jax.lax.optimization_barrier(wmat)
+
+
+def warp_matrix_banded(flow: jnp.ndarray, dtype=jnp.float32, block: int | None = None):
+    """Block-banded form of ``warp_matrix``: ("banded", Wb, block) with
+    Wb [F, nb, block, 3*block] holding, for output row-block i, the
+    columns [i*block - block, i*block + 2*block) of the full matrix.
+
+    Exact equivalence to the dense matrix requires every bilinear tap's
+    source index to lie within one block of its output row
+    (|src - out_row_aligned| bounded by the window) — guaranteed when
+    ``banded_warp_ok(flow, (h, w))`` holds; out-of-window taps (extreme
+    flows) would be silently dropped, hence the caller-side guard."""
+    f, h, w, _ = flow.shape
+    hw = h * w
+    if block is None:
+        block = hw // 8
+    nb = hw // block
+    src, wt = warp_taps(flow)  # [F, hw, 4]
+    src_b = src.reshape(f, nb, block, 4)
+    wt_b = wt.reshape(f, nb, block, 4)
+    # global column index of each window position, per block
+    cols = (
+        (jnp.arange(nb) * block)[None, :, None, None]
+        + (jnp.arange(3 * block) - block)[None, None, None, :]
+    )  # [1, nb, 1, 3b]
+    wmat = jnp.zeros((f, nb, block, 3 * block), dtype)
+    for i in range(4):
+        wmat = wmat + (
+            (src_b[:, :, :, i, None] == cols).astype(dtype)
+            * wt_b[:, :, :, i, None].astype(dtype)
+        )
+    return ("banded", jax.lax.optimization_barrier(wmat), block)
+
+
+def banded_warp_ok(flow: jnp.ndarray, feat_hw: tuple[int, int]) -> bool:
+    """Host-side guard for warp_mode="banded" at the finest stage.
+
+    The window covers |Δ flat source index| <= block = hw/8 for every
+    output row.  A bilinear tap's Δ = (y_tap - y)*w + (x_tap - x) with
+    y_tap ∈ {floor(y+dy), floor(y+dy)+1} (so |y_tap - y| <= |dy|+1) and
+    likewise |x_tap - x| <= min(|dx|+1, w-1); clipping only shrinks
+    both.  Returns False (use dense) when any flow could escape."""
+    h, w = feat_hw
+    hw = h * w
+    block = hw // 8
+    max_dy = float(jnp.max(jnp.abs(flow[..., 1]))) * (h / flow.shape[1])
+    max_dx = float(jnp.max(jnp.abs(flow[..., 0]))) * (w / flow.shape[2])
+    delta = (max_dy + 1.0) * w + min(max_dx + 1.0, w - 1.0)
+    return delta <= block
+
+
+def apply_banded_warp(wb: jnp.ndarray, block: int, x: jnp.ndarray) -> jnp.ndarray:
+    """y = W @ x for the banded form: x [F, hw, d] -> [F, hw, d]."""
+    f, hw, d = x.shape
+    nb = hw // block
+    xp = jnp.pad(x, ((0, 0), (block, block), (0, 0)))
+    win = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(xp, i * block, 3 * block, axis=1)
+            for i in range(nb)
+        ],
+        axis=1,
+    )  # [F, nb, 3b, d]
+    y = jnp.einsum(
+        "fbiw,fbwd->fbid", wb, win.astype(wb.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(f, hw, d)
 
 
 def warp_taps(flow: jnp.ndarray):
@@ -197,6 +274,11 @@ def temporal_loss(
     c2 = jnp.roll(c1, -1, axis=1)
 
     def warp(x, wop):
+        if isinstance(wop, tuple) and wop[0] == "banded":
+            _, wb, block = wop  # block-banded matmul: fold (k, c) -> d
+            xd = x.transpose(1, 2, 0, 3).reshape(f, hw, chunk * c)
+            y = apply_banded_warp(wb, block, xd)
+            return y.reshape(f, hw, chunk, c).transpose(2, 0, 1, 3)
         if isinstance(wop, tuple):  # sparse 4-tap warp: fold (k, c) -> d
             xd = x.transpose(1, 2, 0, 3).reshape(f, hw, chunk * c)
             y = apply_sparse_warp(xd, *wop)
@@ -392,7 +474,17 @@ def optimize_feature(
             fwd_flow, fwd_occ, (h, w), dilate_full_res=False
         )
         # warp structure built once per call, reused by all Adam iters
-        if cfg.warp_mode == "sparse":
+        hw_stage = h * w
+        banded = (
+            cfg.warp_mode == "banded"
+            and hw_stage >= 4096          # finest stage only: the band
+            and hw_stage % 8 == 0         # guard (banded_warp_ok) holds
+            and (hw_stage // 8) % 128 == 0  # at this scale; MXU-aligned
+        )
+        if banded:
+            fwd_warp = warp_matrix_banded(fwd_flow_s, gram_dtype)
+            bwd_warp = warp_matrix_banded(bwd_flow_s, gram_dtype)
+        elif cfg.warp_mode == "sparse":
             fwd_warp = make_sparse_warp(fwd_flow_s)
             bwd_warp = make_sparse_warp(bwd_flow_s)
         else:

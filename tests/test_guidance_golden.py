@@ -196,3 +196,50 @@ def test_spatial_grad_only_path_matches(rng):
     np.testing.assert_allclose(
         np.asarray(g_only_f), np.asarray(g_auto), atol=1e-5, rtol=1e-4
     )
+
+
+def test_banded_warp_matches_dense(rng):
+    """Block-banded warp (the finest-stage FLOP cut) must equal the
+    dense warp matrix exactly while banded_warp_ok holds, in both the
+    forward product and the autodiff backward."""
+    import jax
+
+    from fresco_tpu.diffusion.guidance import (
+        apply_banded_warp,
+        banded_warp_ok,
+        warp_matrix,
+        warp_matrix_banded,
+    )
+
+    f, h, w, d = 2, 64, 8, 12
+    hw = h * w
+    # flows bounded so the band guard holds at this (h, w)
+    flow = jnp.asarray(
+        rng.uniform(-3.5, 3.5, (f, h, w, 2)).astype(np.float32)
+    )
+    assert banded_warp_ok(flow, (h, w))
+
+    dense = warp_matrix(flow, jnp.float32)
+    tag, wb, block = warp_matrix_banded(flow, jnp.float32)
+    assert tag == "banded" and block == hw // 8
+
+    x = jnp.asarray(rng.standard_normal((f, hw, d)), jnp.float32)
+    y_dense = jnp.einsum("fij,fjd->fid", dense, x)
+    y_band = apply_banded_warp(wb, block, x)
+    np.testing.assert_allclose(
+        np.asarray(y_band), np.asarray(y_dense), atol=1e-5, rtol=1e-5
+    )
+
+    g_dense = jax.grad(lambda x_: jnp.sum(jnp.einsum("fij,fjd->fid", dense, x_) ** 2))(x)
+    g_band = jax.grad(lambda x_: jnp.sum(apply_banded_warp(wb, block, x_) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_band), np.asarray(g_dense), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_banded_warp_ok_rejects_large_flow(rng):
+    from fresco_tpu.diffusion.guidance import banded_warp_ok
+
+    f, h, w = 1, 64, 8
+    flow = jnp.full((f, h, w, 2), 30.0, jnp.float32)
+    assert not banded_warp_ok(flow, (h, w))
