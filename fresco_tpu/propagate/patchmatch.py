@@ -51,6 +51,15 @@ class PatchMatchConfig:
     # freezes the remaining search-vote iterations are skipped entirely
     # (lax.while_loop early exit).  0 disables.
     stop_threshold: float = 5.0
+    # Candidate-set trim at upsample-SEEDED pyramid levels: the coarsest
+    # level starts from a random NNF and needs the long jump-flood
+    # shifts (up to 8) plus 4 random-search scales; finer levels start
+    # from the upsampled converged NNF and only refine locally, so the
+    # shift-8 propagation and the widest random radius almost never win
+    # a candidate there.  Each dropped candidate removes one wide
+    # row-gather per PatchMatch iteration — the measured per-iteration
+    # wall (PERF.md).  False = full candidate set at every level.
+    trim_seeded_levels: bool = True
 
 
 def _pyramid_sizes(h: int, w: int, t_h: int, t_w: int, patch: int, max_levels: int):
@@ -159,7 +168,7 @@ def _omega(nnf_y, nnf_x, sh, sw, patch):
     jax.jit,
     static_argnames=(
         "patch", "pm_iters", "sv_iters", "uniformity", "rand_candidates",
-        "stop_threshold",
+        "stop_threshold", "seeded",
     ),
 )
 def _synthesize_level(
@@ -177,6 +186,7 @@ def _synthesize_level(
     uniformity: float,
     rand_candidates: int,
     stop_threshold: float = 0.0,
+    seeded: bool = False,
 ):
     sh, sw = src_all.shape[:2]
     th, tw = tgt_guides.shape[:2]
@@ -233,7 +243,10 @@ def _synthesize_level(
             out = out + _shifted(g[:, :, n_off - 1 - i, :], dy, dx, patch)
         return out / n_off
 
-    shifts = [1, 2, 4, 8]
+    # seeded levels refine an upsampled NNF: drop the longest shift and
+    # the widest random radius (PatchMatchConfig.trim_seeded_levels)
+    shifts = [1, 2, 4] if seeded else [1, 2, 4, 8]
+    n_rand = max(rand_candidates - 1, 1) if seeded else rand_candidates
 
     def sv_iter(carry):
         nnf_, rng_, it, prev_style, _ = carry
@@ -289,12 +302,14 @@ def _synthesize_level(
                     n = _shifted(nnf2, dy, dx, max(shifts))
                     by, bx, be = consider(by, bx, be, n[..., 0] - dy, n[..., 1] - dx)
 
-            # random search with exponentially decaying radius
+            # random search with exponentially decaying radius (seeded
+            # levels skip the widest scale: start the decay one octave in)
             max_rad = max(sh, sw)
-            n_scales = rand_candidates
+            n_scales = n_rand
+            base = 2 if seeded else 1
             rngs = jax.random.split(jax.random.fold_in(rng2, it2), n_scales)
             for j in range(n_scales):
-                rad = max(max_rad >> (j + 1), 1)
+                rad = max(max_rad >> (j + base), 1)
                 delta = jax.random.randint(rngs[j], (th, tw, 2), -rad, rad + 1)
                 by, bx, be = consider(
                     by, bx, be, by + delta[..., 0], bx + delta[..., 1]
@@ -401,6 +416,7 @@ def synthesize(
             uniformity=cfg.uniformity,
             rand_candidates=cfg.rand_candidates,
             stop_threshold=cfg.stop_threshold,
+            seeded=cfg.trim_seeded_levels and li > 0,
         )
     if cfg.extra_pass_3x3:
         # finest level rerun with 3x3 patches and uniformity off, seeded
@@ -415,6 +431,7 @@ def synthesize(
             uniformity=0.0,
             rand_candidates=cfg.rand_candidates,
             stop_threshold=cfg.stop_threshold,
+            seeded=cfg.trim_seeded_levels,
         )
     return out, err, nnf
 
@@ -497,18 +514,20 @@ def synthesize_batch(
     th, tw = target_guides.shape[1:3]
     weights_s = jnp.full((cs,), cfg.style_weight / cs, jnp.float32)
 
-    level_fn = jax.vmap(
-        functools.partial(
-            _synthesize_level,
-            patch=cfg.patch_size,
-            pm_iters=cfg.pm_iters,
-            sv_iters=cfg.sv_iters,
-            uniformity=cfg.uniformity,
-            rand_candidates=cfg.rand_candidates,
-            stop_threshold=cfg.stop_threshold,
-        ),
-        in_axes=(0, 0, 0, None, None, 0, 0),
-    )
+    def make_level_fn(seeded: bool):
+        return jax.vmap(
+            functools.partial(
+                _synthesize_level,
+                patch=cfg.patch_size,
+                pm_iters=cfg.pm_iters,
+                sv_iters=cfg.sv_iters,
+                uniformity=cfg.uniformity,
+                rand_candidates=cfg.rand_candidates,
+                stop_threshold=cfg.stop_threshold,
+                seeded=seeded,
+            ),
+            in_axes=(0, 0, 0, None, None, 0, 0),
+        )
 
     sizes = _pyramid_sizes(sh, sw, th, tw, cfg.patch_size, cfg.num_pyramid_levels)
     nnf = None
@@ -534,7 +553,7 @@ def synthesize_batch(
             up = resize_bilinear(nnf.astype(jnp.float32), (lth, ltw))
             nnf = (up * 2.0).astype(jnp.int32)
 
-        nnf, out, err = level_fn(
+        nnf, out, err = make_level_fn(cfg.trim_seeded_levels and li > 0)(
             src_all, t_guides, s_style, guide_channel_weights, weights_s,
             nnf, jax.random.split(k_run, nb),
         )
@@ -548,6 +567,7 @@ def synthesize_batch(
                 uniformity=0.0,
                 rand_candidates=cfg.rand_candidates,
                 stop_threshold=cfg.stop_threshold,
+                seeded=cfg.trim_seeded_levels,
             ),
             in_axes=(0, 0, 0, None, None, 0, 0),
         )
