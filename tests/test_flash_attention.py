@@ -148,3 +148,29 @@ def test_auto_cap_exact_on_real_flow_masks(rng):
         q, k, v, cf_masks[hw], chunk, heads, key_perm=attn.cf_perms[hw]
     )
     np.testing.assert_allclose(np.asarray(comp), np.asarray(dense), atol=1e-5)
+
+
+def test_auto_cf_key_cap_sizing():
+    from fresco_tpu.pipeline.prepare import auto_cf_key_cap
+
+    # never truncates: cap >= n_valid, rounded to hw/2 granularity
+    assert auto_cf_key_cap(5198, 4096, 8) == 6144   # 1.27*hw -> 1.5*hw
+    assert auto_cf_key_cap(4096, 4096, 8) == 4096   # exactly hw
+    assert auto_cf_key_cap(1, 4096, 8) == 2048      # floor: hw/2
+    assert auto_cf_key_cap(8 * 4096, 4096, 8) == 8 * 4096  # dense bound
+    assert auto_cf_key_cap(100, 64, 4) == 128       # min granularity 128
+    for n in (1, 100, 5198, 9000, 32768):
+        assert auto_cf_key_cap(n, 4096, 8) >= min(n, 8 * 4096)
+
+
+def test_truncation_warning_fires_once(capsys):
+    import jax.numpy as jnp
+
+    from fresco_tpu.pipeline import prepare
+
+    prepare._CF_TRUNCATION_WARNED.clear()
+    masks = {16: jnp.ones((4, 16), bool)}
+    for _ in range(3):
+        prepare.build_attn_params(masks, None, None, cf_key_cap=1.0)
+    out = capsys.readouterr().out
+    assert out.count("cf compaction") == 1
