@@ -68,11 +68,11 @@ def make_clip_image_encoder(ckpt_path: str | None):
 
     from fresco_tpu.models import convert as C
     from fresco_tpu.models.clip_vision import (
-        CLIPVisionConfig, CLIPVisionEncoder, image_embeddings,
+        CLIPVisionEncoder, image_embeddings, infer_vision_config,
     )
 
     sd = C.load_torch_state_dict(ckpt_path)
-    cfg = CLIPVisionConfig()
+    cfg = infer_vision_config(sd)
     model = CLIPVisionEncoder(cfg)
     params = {"params": C.convert_clip_vision(sd, cfg)}
     project = "visual_projection" in params["params"]

@@ -106,6 +106,34 @@ class CLIPVisionEncoder(nn.Module):
         return pooled
 
 
+def infer_vision_config(sd) -> CLIPVisionConfig:
+    """Derive a CLIPVisionConfig from a checkpoint's tensor shapes, so
+    any CLIP vision variant (L/14, B/32, B/16, ...) loads without a
+    hand-matched config.  Accepts CLIPVisionModel or CLIPModel layouts."""
+    import numpy as np
+
+    p = "vision_model." if any(k.startswith("vision_model.") for k in sd) else ""
+    patch_w = np.asarray(sd[f"{p}embeddings.patch_embedding.weight"])
+    hidden, _, patch, _ = patch_w.shape  # torch OIHW
+    n_pos = np.asarray(sd[f"{p}embeddings.position_embedding.weight"]).shape[0]
+    image_size = int(round((n_pos - 1) ** 0.5)) * patch
+    n_layers = 1 + max(
+        int(k.split("encoder.layers.")[1].split(".")[0])
+        for k in sd
+        if "encoder.layers." in k
+    )
+    inter = np.asarray(sd[f"{p}encoder.layers.0.mlp.fc1.weight"]).shape[0]
+    proj = sd.get("visual_projection.weight")
+    proj_dim = np.asarray(proj).shape[0] if proj is not None else hidden
+    # heads: HF ties head_dim to 64 across CLIP vision variants
+    heads = max(hidden // 64, 1)
+    return CLIPVisionConfig(
+        hidden_size=hidden, num_layers=n_layers, num_heads=heads,
+        intermediate_size=inter, image_size=image_size, patch_size=patch,
+        projection_dim=proj_dim,
+    )
+
+
 def preprocess_unit_images(
     images: jnp.ndarray, image_size: int
 ) -> jnp.ndarray:

@@ -92,3 +92,38 @@ def test_image_embeddings_normalized(rng):
     )
     pre = preprocess_unit_images(imgs, CFG.image_size)
     assert pre.shape == (2, CFG.image_size, CFG.image_size, 3)
+
+
+def test_make_clip_image_encoder_from_checkpoint(tmp_path, rng):
+    """metrics.make_clip_image_encoder: config inferred from checkpoint
+    shapes (any CLIP vision variant), embeddings L2-normalized, and the
+    similarity metric switches to the real tower."""
+    from fresco_tpu.metrics import clip_frame_similarity, make_clip_image_encoder
+    from fresco_tpu.models.clip_vision import infer_vision_config
+
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=1,
+        intermediate_size=128, image_size=32, patch_size=8,
+        projection_dim=16, hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    model = transformers.CLIPVisionModel(hf_cfg).eval()
+    path = str(tmp_path / "clip_vision.bin")
+    torch.save(model.state_dict(), path)
+
+    cfg = infer_vision_config(model.state_dict())
+    assert (cfg.hidden_size, cfg.num_layers, cfg.num_heads) == (64, 2, 1)
+    assert (cfg.image_size, cfg.patch_size) == (32, 8)
+    assert cfg.intermediate_size == 128
+
+    enc = make_clip_image_encoder(path)
+    assert enc is not None
+    encode, params = enc
+    frames = rng.integers(0, 255, (3, 40, 48, 3)).astype(np.float32)
+    emb = np.asarray(encode(params, jnp.asarray(frames)))
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, atol=1e-5)
+
+    sim = clip_frame_similarity(jnp.asarray(frames), encode, params)
+    assert np.isfinite(sim) and -1.0 <= sim <= 1.0
+
+    assert make_clip_image_encoder(str(tmp_path / "missing.bin")) is None
