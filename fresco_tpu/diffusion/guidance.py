@@ -311,7 +311,7 @@ def _corr_chunk(correlation, row0, rows, gram_dtype):
     if correlation.shape[1] == correlation.shape[2]:  # dense gram
         return jax.lax.dynamic_slice_in_dim(
             correlation, row0, rows, axis=1
-        ).astype(jnp.float32)
+        ).astype(jnp.promote_types(correlation.dtype, jnp.float32))
     vr = correlation.astype(gram_dtype)
     vc = jax.lax.dynamic_slice_in_dim(vr, row0, rows, axis=1)
     return jnp.einsum("bic,bjc->bij", vc, vr, preferred_element_type=jnp.float32)
