@@ -40,11 +40,9 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr[:])
 
     mask = mask_ref[0, 0]  # [bk] bool
+    n_valid = jnp.sum(mask.astype(jnp.int32))
 
-    # fully-masked key blocks (compaction padding / truncated tails)
-    # contribute nothing — skip their matmuls entirely
-    @pl.when(jnp.any(mask))
-    def _compute():
+    def _compute(masked: bool):
         # upcast to the accumulation dtype BEFORE the dots: measured
         # FASTER than bf16 operands on the v5e at these block shapes
         # (28.4 vs 33.4 ms for the B=16 H=8 S=4096 d=40->128 call —
@@ -60,7 +58,8 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=acc_t
         )  # [bq, bk] f32 (f64 in the x64 validation mode)
-        s = jnp.where(mask[None, :], s, NEG_INF)
+        if masked:
+            s = jnp.where(mask[None, :], s, NEG_INF)
 
         m_prev = m_scr[:]  # [bq, 1]
         l_prev = l_scr[:]
@@ -76,6 +75,19 @@ def _flash_kernel(
         )
         m_scr[:] = m_new
         l_scr[:] = l_new
+
+    # fully-valid key blocks (the common case once the auto cap sizes the
+    # compaction: only the boundary block is mixed) skip the mask pass
+    # over the [bq, bk] logits — this kernel is VPU-bound at small d
+    @pl.when(n_valid == mask.shape[0])
+    def _fast():
+        _compute(masked=False)
+
+    # fully-masked key blocks (compaction padding / truncated tails)
+    # contribute nothing — skip their matmuls entirely
+    @pl.when((0 < n_valid) & (n_valid < mask.shape[0]))
+    def _mixed():
+        _compute(masked=True)
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():

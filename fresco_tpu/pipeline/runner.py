@@ -459,9 +459,19 @@ class FrescoPipeline:
             ]
         )
         b = self.bundle
-        flow_fn = jax.jit(
-            lambda a, bb: b.gmflow.apply(b.params["gmflow"], a, bb)
-        )
+        gpath = str(self.config.gmflow_path)
+        if gpath and os.path.exists(gpath):
+            flow_fn = jax.jit(
+                lambda a, bb: b.gmflow.apply(b.params["gmflow"], a, bb)
+            )
+        else:
+            # no GMFlow checkpoint (offline): random-weight flows are
+            # meaningless AND force a full-res GMFlow compile — measure
+            # under classic Farneback flow instead (same fallback as
+            # bench.py; flows enter as constants for these frames)
+            from fresco_tpu.utils.classic_flow import make_flow_fn
+
+            flow_fn = make_flow_fn(list(frames))
         # real CLIP frame similarity when a vision checkpoint sits next
         # to the other model files (BASELINE.md metric; proxy otherwise)
         ckpt_dir = os.path.dirname(str(self.config.gmflow_path)) or "."

@@ -58,8 +58,11 @@ class PatchMatchConfig:
     # shift-8 propagation and the widest random radius almost never win
     # a candidate there.  Each dropped candidate removes one wide
     # row-gather per PatchMatch iteration — the measured per-iteration
-    # wall (PERF.md).  False = full candidate set at every level.
-    trim_seeded_levels: bool = True
+    # wall (PERF.md).  0/False = full candidate set at every level;
+    # 1/True = drop shift-8 + the widest random scale (PERF.md r3:
+    # −0.05 dB); 2 = additionally drop shift-4 + one more random scale
+    # (quality measured in PERF.md).
+    trim_seeded_levels: bool | int = True
 
 
 def _pyramid_sizes(h: int, w: int, t_h: int, t_w: int, patch: int, max_levels: int):
@@ -186,7 +189,7 @@ def _synthesize_level(
     uniformity: float,
     rand_candidates: int,
     stop_threshold: float = 0.0,
-    seeded: bool = False,
+    seeded: int = 0,
 ):
     sh, sw = src_all.shape[:2]
     th, tw = tgt_guides.shape[:2]
@@ -243,10 +246,11 @@ def _synthesize_level(
             out = out + _shifted(g[:, :, n_off - 1 - i, :], dy, dx, patch)
         return out / n_off
 
-    # seeded levels refine an upsampled NNF: drop the longest shift and
-    # the widest random radius (PatchMatchConfig.trim_seeded_levels)
-    shifts = [1, 2, 4] if seeded else [1, 2, 4, 8]
-    n_rand = max(rand_candidates - 1, 1) if seeded else rand_candidates
+    # seeded levels refine an upsampled NNF: drop the longest shift(s)
+    # and the widest random radii (PatchMatchConfig.trim_seeded_levels)
+    seeded = int(seeded)
+    shifts = {0: [1, 2, 4, 8], 1: [1, 2, 4]}.get(seeded, [1, 2])
+    n_rand = max(rand_candidates - seeded, 1) if seeded else rand_candidates
 
     def sv_iter(carry):
         nnf_, rng_, it, prev_style, _ = carry
@@ -282,9 +286,17 @@ def _synthesize_level(
         ).astype(src_patches.dtype)
         table = jnp.concatenate([src_patches, omega_col], axis=1)
 
+        # the current match's error is invariant across the pm scan
+        # (table + target patches are fixed within one sv iteration), so
+        # evaluate it ONCE here and carry (by, bx, be) through the scan —
+        # saves one of the per-pm-iteration wide row-gathers (the
+        # measured per-iteration wall, PERF.md)
+        by0, bx0, be0 = eval_cand(
+            nnf_[..., 0], nnf_[..., 1], tgt_all_patches, table
+        )
+
         def pm_iter(carry2, it2):
-            nnf2, rng2 = carry2
-            by, bx, be = eval_cand(nnf2[..., 0], nnf2[..., 1], tgt_all_patches, table)
+            by, bx, be, rng2 = carry2
 
             def consider(by, bx, be, cy, cx):
                 ny, nx, e = eval_cand(cy, cx, tgt_all_patches, table)
@@ -295,12 +307,16 @@ def _synthesize_level(
                     jnp.where(better, e, be),
                 )
 
+            nnf2 = jnp.stack([by, bx], axis=-1)
+            nby, nbx, nbe = by, bx, be
             # jump-flood propagation: neighbor matches, shift-adjusted
             # (static shifts as pad+slice, not gathers)
             for d in shifts:
                 for dy, dx in ((d, 0), (-d, 0), (0, d), (0, -d)):
                     n = _shifted(nnf2, dy, dx, max(shifts))
-                    by, bx, be = consider(by, bx, be, n[..., 0] - dy, n[..., 1] - dx)
+                    nby, nbx, nbe = consider(
+                        nby, nbx, nbe, n[..., 0] - dy, n[..., 1] - dx
+                    )
 
             # random search with exponentially decaying radius (seeded
             # levels skip the widest scale: start the decay one octave in)
@@ -311,18 +327,22 @@ def _synthesize_level(
             for j in range(n_scales):
                 rad = max(max_rad >> (j + base), 1)
                 delta = jax.random.randint(rngs[j], (th, tw, 2), -rad, rad + 1)
-                by, bx, be = consider(
-                    by, bx, be, by + delta[..., 0], bx + delta[..., 1]
+                nby, nbx, nbe = consider(
+                    nby, nbx, nbe, nby + delta[..., 0], nbx + delta[..., 1]
                 )
-            # frozen pixels keep their match (reference skips their
-            # propagation/search kernels entirely, ebsynth_cuda.cu:207)
-            upd = jnp.stack([by, bx], axis=-1)
-            nnf3 = jnp.where(active[..., None], upd, nnf2)
-            return (nnf3, rng2), None
+            # frozen pixels keep their match AND its carried error
+            # (reference skips their propagation/search kernels entirely,
+            # ebsynth_cuda.cu:207)
+            nby = jnp.where(active, nby, by)
+            nbx = jnp.where(active, nbx, bx)
+            nbe = jnp.where(active, nbe, be)
+            return (nby, nbx, nbe, rng2), None
 
-        (nnf_, rng_), _ = jax.lax.scan(
-            pm_iter, (nnf_, jax.random.fold_in(rng_, it)), jnp.arange(pm_iters)
+        (by_, bx_, _, _), _ = jax.lax.scan(
+            pm_iter, (by0, bx0, be0, jax.random.fold_in(rng_, it)),
+            jnp.arange(pm_iters),
         )
+        nnf_ = jnp.stack([by_, bx_], axis=-1)
         return (nnf_, rng_, it + 1, tgt_style, jnp.any(active))
 
     state = (
@@ -416,7 +436,7 @@ def synthesize(
             uniformity=cfg.uniformity,
             rand_candidates=cfg.rand_candidates,
             stop_threshold=cfg.stop_threshold,
-            seeded=cfg.trim_seeded_levels and li > 0,
+            seeded=int(cfg.trim_seeded_levels) if li > 0 else 0,
         )
     if cfg.extra_pass_3x3:
         # finest level rerun with 3x3 patches and uniformity off, seeded
@@ -431,7 +451,7 @@ def synthesize(
             uniformity=0.0,
             rand_candidates=cfg.rand_candidates,
             stop_threshold=cfg.stop_threshold,
-            seeded=cfg.trim_seeded_levels,
+            seeded=int(cfg.trim_seeded_levels),
         )
     return out, err, nnf
 
@@ -514,7 +534,7 @@ def synthesize_batch(
     th, tw = target_guides.shape[1:3]
     weights_s = jnp.full((cs,), cfg.style_weight / cs, jnp.float32)
 
-    def make_level_fn(seeded: bool):
+    def make_level_fn(seeded: int):
         return jax.vmap(
             functools.partial(
                 _synthesize_level,
@@ -553,7 +573,9 @@ def synthesize_batch(
             up = resize_bilinear(nnf.astype(jnp.float32), (lth, ltw))
             nnf = (up * 2.0).astype(jnp.int32)
 
-        nnf, out, err = make_level_fn(cfg.trim_seeded_levels and li > 0)(
+        nnf, out, err = make_level_fn(
+            int(cfg.trim_seeded_levels) if li > 0 else 0
+        )(
             src_all, t_guides, s_style, guide_channel_weights, weights_s,
             nnf, jax.random.split(k_run, nb),
         )
@@ -567,7 +589,7 @@ def synthesize_batch(
                 uniformity=0.0,
                 rand_candidates=cfg.rand_candidates,
                 stop_threshold=cfg.stop_threshold,
-                seeded=cfg.trim_seeded_levels,
+                seeded=int(cfg.trim_seeded_levels),
             ),
             in_axes=(0, 0, 0, None, None, 0, 0),
         )

@@ -174,3 +174,27 @@ def test_truncation_warning_fires_once(capsys):
         prepare.build_attn_params(masks, None, None, cf_key_cap=1.0)
     out = capsys.readouterr().out
     assert out.count("cf compaction") == 1
+
+
+def test_flash_valid_prefix_mask(rng):
+    """Compaction-style masks (valid-first prefix) hit the kernel's
+    fully-valid fast path on whole blocks plus one mixed boundary block —
+    must match naive exactly like scattered masks do."""
+    b, h, sq, sk, d = 1, 2, 64, 384, 40
+    q = rng.standard_normal((b, h, sq, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, sk, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, sk, d)).astype(np.float32)
+    for nvalid in (384, 300, 128):  # all-valid / mixed tail / aligned prefix
+        mask = np.arange(sk)[None, :] < nvalid
+        out = np.asarray(
+            flash_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.asarray(mask), block_q=64, block_k=128, interpret=True,
+            )
+        )
+        ref = np.asarray(
+            naive_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask)
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)

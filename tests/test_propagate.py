@@ -128,3 +128,27 @@ def test_patchmatch_extra_pass_3x3(rng):
     m = 4
     diff = np.abs(np.asarray(out)[m:-m, m:-m] - style[m:-m, m:-m]).mean()
     assert diff < 10.0, f"mean abs diff {diff}"
+
+
+def test_patchmatch_trim_tier2_reconstruction(rng):
+    """trim_seeded_levels=2 (the throughput knob: shifts [1,2] + fewer
+    random scales at seeded levels) still reconstructs the identity
+    match — the trimmed candidate set must stay able to refine an
+    upsample-seeded NNF."""
+    h = w = 48
+    guides = _checker(h, w)
+    noise = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    guides = 0.8 * guides + 0.2 * noise
+    style = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+
+    cfg = PatchMatchConfig(
+        patch_size=5, pm_iters=4, sv_iters=4, uniformity=0.0,
+        num_pyramid_levels=2, trim_seeded_levels=2,
+    )
+    out, _, _ = synthesize(
+        jnp.asarray(style), jnp.asarray(guides), jnp.asarray(guides),
+        jnp.full((3,), 2.0), cfg, rng=jax.random.key(1),
+    )
+    m = 6
+    diff = np.abs(np.asarray(out)[m:-m, m:-m] - style[m:-m, m:-m]).mean()
+    assert diff < 12.0, f"mean abs diff {diff}"
