@@ -540,13 +540,14 @@ class FrescoPipeline:
                     b.params, frames_unit, prompt_embeds, rng
                 ))
             if cfg.use_fresco_attn:
-                attn = prepare.build_attn_params(
-                    cf_masks if cfg.use_cfattn else None,
-                    ref_feats, trajectories,
-                    intra_scale=cfg.intraattn_scale_factor,
-                    inter_scale=cfg.interattn_scale_factor,
-                    cf_key_cap=cfg.cf_key_cap,
-                )
+                with phase_timer(self.phases, "attn_params"):
+                    attn = prepare.build_attn_params(
+                        cf_masks if cfg.use_cfattn else None,
+                        ref_feats, trajectories,
+                        intra_scale=cfg.intraattn_scale_factor,
+                        inter_scale=cfg.interattn_scale_factor,
+                        cf_key_cap=cfg.cf_key_cap,
+                    )
             fresco_state = FrescoState(
                 attn=attn,
                 fwd_flow=flows[0], bwd_flow=flows[1],

@@ -63,6 +63,23 @@ class PatchMatchConfig:
     # −0.05 dB); 2 = additionally drop shift-4 + one more random scale
     # (quality measured in PERF.md).
     trim_seeded_levels: bool | int = True
+    # Active-pixel compaction tiers for the stop-threshold freeze mask.
+    # The candidate row-gather cost is per-ROW and width-independent
+    # (scripts/bench_gather.py: ~26 ns/row), and the measured freeze
+    # trajectory collapses to <2% active after 2-3 search-vote
+    # iterations (scripts/debug_active_counts.py) — yet the data-
+    # parallel sweeps kept gathering every row.  Each tier t compiles a
+    # pm scan that evaluates candidates only at the first N//t
+    # active-first compacted positions; at runtime lax.cond picks the
+    # smallest tier the live active count fits (falling back to the
+    # full sweep), so frozen rows stop paying gathers.  Candidate SETS
+    # for active pixels are unchanged (shift propagation still reads
+    # the full-grid NNF; random search draws per-compacted-pixel), so
+    # this is quality-neutral up to RNG stream (PSNR-guarded in
+    # tests/PERF.md).  () disables.  Only applied at levels with
+    # >= 16384 target pixels and only in non-vmapped synthesis (vmap
+    # would lower cond to select and execute every tier).
+    compact_tiers: tuple = (4, 16)
 
 
 def _pyramid_sizes(h: int, w: int, t_h: int, t_w: int, patch: int, max_levels: int):
@@ -171,7 +188,7 @@ def _omega(nnf_y, nnf_x, sh, sw, patch):
     jax.jit,
     static_argnames=(
         "patch", "pm_iters", "sv_iters", "uniformity", "rand_candidates",
-        "stop_threshold", "seeded",
+        "stop_threshold", "seeded", "debug_counts", "compact_tiers",
     ),
 )
 def _synthesize_level(
@@ -190,6 +207,8 @@ def _synthesize_level(
     rand_candidates: int,
     stop_threshold: float = 0.0,
     seeded: int = 0,
+    debug_counts: bool = False,
+    compact_tiers: tuple = (),
 ):
     sh, sw = src_all.shape[:2]
     th, tw = tgt_guides.shape[:2]
@@ -220,7 +239,7 @@ def _synthesize_level(
         s = jnp.take(table, flat.reshape(-1), axis=0)
         s = s.reshape(*ny.shape, table.shape[-1])
         d = (s[..., :-1] - tgt_all_patches).astype(jnp.float32)
-        e = jnp.einsum("hwc,c->hw", d * d, w_all)
+        e = jnp.einsum("...c,c->...", d * d, w_all)
         if uniformity > 0:
             e = e + s[..., -1].astype(jnp.float32)
         return ny, nx, e
@@ -253,7 +272,7 @@ def _synthesize_level(
     n_rand = max(rand_candidates - seeded, 1) if seeded else rand_candidates
 
     def sv_iter(carry):
-        nnf_, rng_, it, prev_style, _ = carry
+        nnf_, rng_, it, prev_style, _, counts = carry
         tgt_style = vote(nnf_)
         # -stopthreshold freeze mask (ebsynth_cuda.cu:538-583): pixels
         # whose voted style moved < threshold since the last vote are
@@ -286,69 +305,176 @@ def _synthesize_level(
         ).astype(src_patches.dtype)
         table = jnp.concatenate([src_patches, omega_col], axis=1)
 
-        # the current match's error is invariant across the pm scan
-        # (table + target patches are fixed within one sv iteration), so
-        # evaluate it ONCE here and carry (by, bx, be) through the scan —
-        # saves one of the per-pm-iteration wide row-gathers (the
-        # measured per-iteration wall, PERF.md)
-        by0, bx0, be0 = eval_cand(
-            nnf_[..., 0], nnf_[..., 1], tgt_all_patches, table
-        )
+        def consider(by, bx, be, cy, cx, tgt_p):
+            ny, nx, e = eval_cand(cy, cx, tgt_p, table)
+            better = e < be
+            return (
+                jnp.where(better, ny, by),
+                jnp.where(better, nx, bx),
+                jnp.where(better, e, be),
+            )
 
-        def pm_iter(carry2, it2):
-            by, bx, be, rng2 = carry2
-
-            def consider(by, bx, be, cy, cx):
-                ny, nx, e = eval_cand(cy, cx, tgt_all_patches, table)
-                better = e < be
-                return (
-                    jnp.where(better, ny, by),
-                    jnp.where(better, nx, bx),
-                    jnp.where(better, e, be),
-                )
-
-            nnf2 = jnp.stack([by, bx], axis=-1)
-            nby, nbx, nbe = by, bx, be
-            # jump-flood propagation: neighbor matches, shift-adjusted
-            # (static shifts as pad+slice, not gathers)
-            for d in shifts:
-                for dy, dx in ((d, 0), (-d, 0), (0, d), (0, -d)):
-                    n = _shifted(nnf2, dy, dx, max(shifts))
-                    nby, nbx, nbe = consider(
-                        nby, nbx, nbe, n[..., 0] - dy, n[..., 1] - dx
-                    )
-
-            # random search with exponentially decaying radius (seeded
-            # levels skip the widest scale: start the decay one octave in)
+        def rand_deltas(rng2, it2, shape):
+            # random search radii with exponential decay (seeded levels
+            # skip the widest scale: start the decay one octave in)
             max_rad = max(sh, sw)
-            n_scales = n_rand
             base = 2 if seeded else 1
-            rngs = jax.random.split(jax.random.fold_in(rng2, it2), n_scales)
-            for j in range(n_scales):
-                rad = max(max_rad >> (j + base), 1)
-                delta = jax.random.randint(rngs[j], (th, tw, 2), -rad, rad + 1)
-                nby, nbx, nbe = consider(
-                    nby, nbx, nbe, nby + delta[..., 0], nbx + delta[..., 1]
+            rngs = jax.random.split(jax.random.fold_in(rng2, it2), n_rand)
+            return [
+                jax.random.randint(
+                    rngs[j], (*shape, 2),
+                    -max(max_rad >> (j + base), 1),
+                    max(max_rad >> (j + base), 1) + 1,
                 )
-            # frozen pixels keep their match AND its carried error
-            # (reference skips their propagation/search kernels entirely,
-            # ebsynth_cuda.cu:207)
-            nby = jnp.where(active, nby, by)
-            nbx = jnp.where(active, nbx, bx)
-            nbe = jnp.where(active, nbe, be)
-            return (nby, nbx, nbe, rng2), None
+                for j in range(n_rand)
+            ]
 
-        (by_, bx_, _, _), _ = jax.lax.scan(
-            pm_iter, (by0, bx0, be0, jax.random.fold_in(rng_, it)),
-            jnp.arange(pm_iters),
-        )
-        nnf_ = jnp.stack([by_, bx_], axis=-1)
-        return (nnf_, rng_, it + 1, tgt_style, jnp.any(active))
+        def run_full(_):
+            # the current match's error is invariant across the pm scan
+            # (table + target patches are fixed within one sv iteration):
+            # evaluate it ONCE and carry (by, bx, be) through the scan —
+            # saves one of the per-pm-iteration wide row-gathers (the
+            # measured per-iteration wall, PERF.md)
+            by0, bx0, be0 = eval_cand(
+                nnf_[..., 0], nnf_[..., 1], tgt_all_patches, table
+            )
+
+            def pm_iter(carry2, it2):
+                by, bx, be, rng2 = carry2
+                nnf2 = jnp.stack([by, bx], axis=-1)
+                nby, nbx, nbe = by, bx, be
+                # jump-flood propagation: neighbor matches, shift-adjusted
+                # (static shifts as pad+slice, not gathers)
+                for d in shifts:
+                    for dy, dx in ((d, 0), (-d, 0), (0, d), (0, -d)):
+                        n = _shifted(nnf2, dy, dx, max(shifts))
+                        nby, nbx, nbe = consider(
+                            nby, nbx, nbe, n[..., 0] - dy, n[..., 1] - dx,
+                            tgt_all_patches,
+                        )
+                for delta in rand_deltas(rng2, it2, (th, tw)):
+                    nby, nbx, nbe = consider(
+                        nby, nbx, nbe, nby + delta[..., 0], nbx + delta[..., 1],
+                        tgt_all_patches,
+                    )
+                # frozen pixels keep their match AND its carried error
+                # (reference skips their propagation/search kernels
+                # entirely, ebsynth_cuda.cu:207)
+                nby = jnp.where(active, nby, by)
+                nbx = jnp.where(active, nbx, bx)
+                nbe = jnp.where(active, nbe, be)
+                return (nby, nbx, nbe, rng2), None
+
+            (by_, bx_, _, _), _ = jax.lax.scan(
+                pm_iter, (by0, bx0, be0, jax.random.fold_in(rng_, it)),
+                jnp.arange(pm_iters),
+            )
+            return jnp.stack([by_, bx_], axis=-1)
+
+        def make_run_compact(k_cap: int):
+            # Freeze-compacted pm scan (PatchMatchConfig.compact_tiers):
+            # candidates are evaluated only at the first k_cap positions
+            # of an active-first stable argsort — exact for the live
+            # active set whenever it fits the cap (lax.cond guarantees
+            # that), up to the RNG stream of the random search.  Shift
+            # propagation still reads the FULL-grid NNF (scattered back
+            # each pm iteration) so jump-flood connectivity across
+            # frozen regions is preserved.
+            def run_compact(_):
+                flat_active = active.reshape(-1)
+                perm = jnp.argsort(~flat_active, stable=True)[:k_cap]
+                activec = jnp.take(flat_active, perm)[:, None]  # [K,1]
+                tgt_c = jnp.take(
+                    tgt_all_patches.reshape(th * tw, -1), perm, axis=0
+                )[:, None, :]  # [K,1,C]
+
+                nnf_flat = nnf_.reshape(-1, 2)
+                byc0 = jnp.take(nnf_flat[:, 0], perm)[:, None]
+                bxc0 = jnp.take(nnf_flat[:, 1], perm)[:, None]
+                byc0, bxc0, bec0 = eval_cand(byc0, bxc0, tgt_c, table)
+
+                def pm_iter(carry2, it2):
+                    byc, bxc, bec, full, rng2 = carry2
+                    # all shift-candidate maps ride ONE compacted gather
+                    # (the gather cost is per-dispatch + per-row; width
+                    # is nearly free — bench_gather.py)
+                    shifted = []
+                    for d in shifts:
+                        for dy, dx in ((d, 0), (-d, 0), (0, d), (0, -d)):
+                            n = _shifted(full, dy, dx, max(shifts))
+                            shifted.append(
+                                (n - jnp.array([dy, dx])).reshape(-1, 2)
+                            )
+                    cand_all = jnp.take(
+                        jnp.concatenate(shifted, axis=1), perm, axis=0
+                    )  # [K, 2*n_shift_cands]
+                    nby, nbx, nbe = byc, bxc, bec
+                    ns = len(shifted)
+                    # every op pays a ~1ms dispatch floor at compacted
+                    # sizes (scripts/bench_compact.py), so all shift
+                    # candidates are evaluated through ONE table gather
+                    # when the stacked rows fit a sane budget
+                    if ns * k_cap * 800 <= 300 * 2**20:
+                        cys = cand_all[:, 0::2].T[..., None]  # [ns, K, 1]
+                        cxs = cand_all[:, 1::2].T[..., None]
+                        ny, nx, es = eval_cand(cys, cxs, tgt_c[None], table)
+                        for i in range(ns):
+                            better = es[i] < nbe
+                            nby = jnp.where(better, ny[i], nby)
+                            nbx = jnp.where(better, nx[i], nbx)
+                            nbe = jnp.where(better, es[i], nbe)
+                    else:
+                        for i in range(ns):
+                            nby, nbx, nbe = consider(
+                                nby, nbx, nbe,
+                                cand_all[:, 2 * i : 2 * i + 1],
+                                cand_all[:, 2 * i + 1 : 2 * i + 2], tgt_c,
+                            )
+                    for delta in rand_deltas(rng2, it2, (k_cap, 1)):
+                        nby, nbx, nbe = consider(
+                            nby, nbx, nbe,
+                            nby + delta[..., 0], nbx + delta[..., 1], tgt_c,
+                        )
+                    # padding rows (frozen pixels pulled in by the cap)
+                    # keep their match — same freeze rule as the full path
+                    nby = jnp.where(activec, nby, byc)
+                    nbx = jnp.where(activec, nbx, bxc)
+                    nbe = jnp.where(activec, nbe, bec)
+                    full = full.reshape(-1, 2).at[perm].set(
+                        jnp.concatenate([nby, nbx], axis=1)
+                    ).reshape(th, tw, 2)
+                    return (nby, nbx, nbe, full, rng2), None
+
+                (_, _, _, full_, _), _ = jax.lax.scan(
+                    pm_iter,
+                    (byc0, bxc0, bec0, nnf_, jax.random.fold_in(rng_, it)),
+                    jnp.arange(pm_iters),
+                )
+                return full_
+
+            return run_compact
+
+        n_active = jnp.sum(active.astype(jnp.int32))
+        nnf_new = run_full
+        for t in sorted(compact_tiers):
+            k_cap = -(-(th * tw) // t)  # ceil: tier t covers <= N/t active
+            inner, cap = nnf_new, k_cap
+            nnf_new = (
+                lambda op, inner=inner, cap=cap: jax.lax.cond(
+                    n_active <= cap, make_run_compact(cap), inner, op
+                )
+            )
+        nnf_ = nnf_new(None)
+        counts = counts.at[it].set(n_active)
+        return (nnf_, rng_, it + 1, tgt_style, jnp.any(active), counts)
 
     state = (
         nnf, rng, jnp.int32(0),
         jnp.full((th, tw, cs), -1e9, jnp.float32),  # prev vote: iter 0 active
         jnp.array(True),
+        # per-iteration active-pixel counts (-1 = iteration skipped by the
+        # early exit); returned under debug_counts for freeze diagnostics
+        jnp.full((sv_iters,), -1, jnp.int32),
     )
     state = jax.lax.while_loop(
         # early exit when every pixel froze: the reference's remaining
@@ -371,6 +497,8 @@ def _synthesize_level(
     ).astype(src_patches.dtype)
     table = jnp.concatenate([src_patches, omega_col], axis=1)
     _, _, err = eval_cand(nnf[..., 0], nnf[..., 1], tgt_all_patches, table)
+    if debug_counts:
+        return nnf, out, err, state[5]
     return nnf, out, err
 
 
@@ -382,6 +510,7 @@ def synthesize(
     cfg: PatchMatchConfig = PatchMatchConfig(),
     rng: jax.Array | None = None,
     backend: str = "tpu",
+    debug_counts: bool = False,
 ):
     """Synthesize the target-frame style by guided patch matching.
 
@@ -392,7 +521,10 @@ def synthesize(
     ``backend``: 'tpu' (jump-flood, device) or 'native' (C++ serpentine
     exact-parity mode, fresco_tpu/propagate/native).
 
-    Returns (output [Ht,Wt,Cs], error [Ht,Wt], nnf [Ht,Wt,2]).
+    Returns (output [Ht,Wt,Cs], error [Ht,Wt], nnf [Ht,Wt,2]);
+    with ``debug_counts`` a 4th element: per-level [sv_iters] int32
+    active-pixel counts (-1 = iteration skipped by the early exit) for
+    stop-threshold freeze diagnostics.
     """
     if backend == "native":
         return _synthesize_native(
@@ -407,6 +539,7 @@ def synthesize(
 
     sizes = _pyramid_sizes(sh, sw, th, tw, cfg.patch_size, cfg.num_pyramid_levels)
     nnf = None
+    all_counts = []
     for li, ((lsh, lsw), (lth, ltw)) in enumerate(sizes):
         s_style = resize_bilinear(style[None], (lsh, lsw))[0]
         s_guides = resize_bilinear(source_guides[None], (lsh, lsw))[0]
@@ -427,7 +560,7 @@ def synthesize(
             up = resize_bilinear(nnf.astype(jnp.float32)[None], (lth, ltw))[0]
             nnf = (up * 2.0).astype(jnp.int32)
 
-        nnf, out, err = _synthesize_level(
+        nnf, out, err, *dbg = _synthesize_level(
             src_all, t_guides, s_style, guide_channel_weights, weights_s,
             nnf, k_run,
             patch=cfg.patch_size,
@@ -437,7 +570,12 @@ def synthesize(
             rand_candidates=cfg.rand_candidates,
             stop_threshold=cfg.stop_threshold,
             seeded=int(cfg.trim_seeded_levels) if li > 0 else 0,
+            debug_counts=debug_counts,
+            # coarse levels' gathers are sub-ms: tiers only add compile
+            compact_tiers=tuple(cfg.compact_tiers)
+            if lth * ltw >= 16384 and cfg.stop_threshold > 0 else (),
         )
+        all_counts.extend(dbg)
     if cfg.extra_pass_3x3:
         # finest level rerun with 3x3 patches and uniformity off, seeded
         # from the converged NNF (ebsynth_cpu.cpp:983-989)
@@ -452,7 +590,11 @@ def synthesize(
             rand_candidates=cfg.rand_candidates,
             stop_threshold=cfg.stop_threshold,
             seeded=int(cfg.trim_seeded_levels),
+            compact_tiers=tuple(cfg.compact_tiers)
+            if th * tw >= 16384 and cfg.stop_threshold > 0 else (),
         )
+    if debug_counts:
+        return out, err, nnf, all_counts
     return out, err, nnf
 
 

@@ -152,3 +152,39 @@ def test_patchmatch_trim_tier2_reconstruction(rng):
     m = 6
     diff = np.abs(np.asarray(out)[m:-m, m:-m] - style[m:-m, m:-m]).mean()
     assert diff < 12.0, f"mean abs diff {diff}"
+
+
+def test_patchmatch_compact_tiers_reconstruction(rng):
+    """Freeze-compacted pm scans (compact_tiers) must keep the identity
+    reconstruction exact: the compact path evaluates the same shift
+    candidates (via the full-grid NNF) and freezes padding rows, so a
+    converged match must survive every tier, including caps smaller
+    than the pixel count."""
+    from fresco_tpu.propagate.patchmatch import _synthesize_level
+
+    h = w = 40
+    style = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    guides = 0.8 * _checker(h, w) + 0.2 * rng.uniform(0, 255, (h, w, 3)).astype(
+        np.float32
+    )
+    src_all = jnp.asarray(np.concatenate([style, guides], -1))
+    nnf0 = jnp.stack(
+        [
+            jax.random.randint(jax.random.key(1), (h, w), 2, h - 2),
+            jax.random.randint(jax.random.key(2), (h, w), 2, w - 2),
+        ],
+        axis=-1,
+    )
+    kw = dict(
+        patch=5, pm_iters=4, sv_iters=4, uniformity=3500.0,
+        rand_candidates=3, stop_threshold=5.0, seeded=0,
+    )
+    for tiers in ((), (1,), (1, 2)):
+        _, out, _ = _synthesize_level(
+            src_all, jnp.asarray(guides), jnp.asarray(style),
+            jnp.full((3,), 2.0), jnp.full((3,), 1.0 / 3),
+            nnf0, jax.random.key(3), compact_tiers=tiers, **kw,
+        )
+        m = 5
+        diff = np.abs(np.asarray(out)[m:-m, m:-m] - style[m:-m, m:-m]).mean()
+        assert diff < 10.0, f"tiers {tiers}: mean abs diff {diff}"
