@@ -78,8 +78,12 @@ class PatchMatchConfig:
     # this is quality-neutral up to RNG stream (PSNR-guarded in
     # tests/PERF.md).  () disables.  Only applied at levels with
     # >= 16384 target pixels and only in non-vmapped synthesis (vmap
-    # would lower cond to select and execute every tier).
-    compact_tiers: tuple = (4, 16)
+    # would lower cond to select and execute every tier).  The N/2 tier
+    # matters for noise-like styles (random-weight keyframes) whose
+    # freeze fraction plateaus near 40-50% at the finest level;
+    # smooth/natural styles collapse to <2% and ride the deeper tiers
+    # (both trajectories in PERF.md).
+    compact_tiers: tuple = (2, 4, 16)
 
 
 def _pyramid_sizes(h: int, w: int, t_h: int, t_w: int, patch: int, max_levels: int):
