@@ -126,3 +126,20 @@ def test_keyframe_sublists_matches_reference_batching():
     # every batch fits in batch_size (first has 2 anchors, later get +2 refs)
     assert len(subs[0]) <= 8
     assert all(len(s) <= 6 for s in subs[1:])
+
+
+def test_config_loads_all_reference_yamls():
+    """All four demo configs (BASELINE.md's benchmark set) must load with
+    sane values — not just config_music."""
+    import pathlib
+
+    base = pathlib.Path("/root/reference/config")
+    if not base.exists():
+        pytest.skip("reference configs not mounted")
+    for name in ("config_music", "config_dog", "config_boxer", "config_carturn"):
+        cfg = load_config(str(base / f"{name}.yaml"))
+        assert cfg.batch_size == 8, name
+        assert cfg.num_inference_steps == 20, name
+        assert 0 < cfg.mininterv <= cfg.maxinterv, name
+        assert cfg.controlnet_type in ("hed", "canny", "depth"), name
+        assert cfg.prompt, name
