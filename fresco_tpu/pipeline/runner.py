@@ -439,16 +439,25 @@ class FrescoPipeline:
             print("[fresco_tpu] " + self.phases.report())
         return keys
 
-    def evaluate_consistency(self, frame_dir: str, max_frames: int = 16) -> dict:
+    def evaluate_consistency(self, frame_dir: str, max_frames: int = 32) -> dict:
         """Temporal-consistency report for a frame directory
         (BASELINE.md acceptance metrics: flow-warp error under GMFlow +
         frame similarity).  Called by the CLI after propagation and by
-        the e2e tests as a regression bound."""
+        the e2e tests as a regression bound.
+
+        Long clips are sampled as a CENTERED contiguous window of
+        ``max_frames`` (consecutive frames are required for flow warp to
+        mean anything): a head-truncated window would score only the
+        first keyframe interval, which blending treats specially (it is
+        anchored on both sides by the strongest keys)."""
         from fresco_tpu import metrics
 
         files = sorted(
             f for f in os.listdir(frame_dir) if f.endswith((".png", ".jpg"))
-        )[:max_frames]
+        )
+        if len(files) > max_frames:
+            lo = (len(files) - max_frames) // 2
+            files = files[lo : lo + max_frames]
         if len(files) < 2:
             return {}
         frames = np.stack(
@@ -458,9 +467,9 @@ class FrescoPipeline:
                 for f in files
             ]
         )
-        b = self.bundle
         gpath = str(self.config.gmflow_path)
         if gpath and os.path.exists(gpath):
+            b = self.bundle
             flow_fn = jax.jit(
                 lambda a, bb: b.gmflow.apply(b.params["gmflow"], a, bb)
             )

@@ -396,11 +396,21 @@ def main(argv=None):
     p.add_argument("-ne", action="store_true",
                    help="reuse previous synthesis outputs (resume)")
     p.add_argument("-tmp", action="store_true", help="keep tmp caches")
+    p.add_argument("--trim", type=int, default=None,
+                   help="trim_seeded_levels tier (0 = full reference "
+                        "candidate sweep, 2 = throughput-first)")
+    p.add_argument("--stop-threshold", type=float, default=None,
+                   help="ebsynth -stopthreshold (0 disables freezing)")
     a = p.parse_args(argv)
+    pm_kw = {}
+    if a.trim is not None:
+        pm_kw["trim_seeded_levels"] = a.trim
+    if a.stop_threshold is not None:
+        pm_kw["stop_threshold"] = a.stop_threshold
     blend_video(
         a.name, a.key_ind, a.key, a.output, a.fps, a.n_proc, poisson=a.ps,
         reuse_synthesis=a.ne, keep_tmp=True, synth_backend=a.backend,
-        inpaint_method=a.inpaint,
+        inpaint_method=a.inpaint, patch_cfg=PatchMatchConfig(**pm_kw),
     )
 
 

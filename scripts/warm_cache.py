@@ -30,6 +30,8 @@ def main():
     ap.add_argument("config", nargs="?", default=None)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--no-synthesis", action="store_true",
+                    help="skip the patch-synthesis pyramid priming")
     args = ap.parse_args()
 
     from fresco_tpu.core.cache import enable_compilation_cache
@@ -64,10 +66,49 @@ def main():
 
     rng = np.random.default_rng(0)
     n = cfg.batch_size
-    imgs = [
-        rng.integers(0, 255, (cfg.resolution, cfg.resolution, 3)).astype(np.uint8)
-        for _ in range(n)
-    ]
+    # real frames when the config names a clip: the cf attention auto
+    # key cap sizes its compaction (and therefore the compiled program)
+    # from the MEASURED valid-key count, so synthetic-noise masks would
+    # prime programs a real run never executes
+    imgs = None
+    try:
+        import cv2
+
+        from fresco_tpu.ops.image import resize_image
+
+        cap = cv2.VideoCapture(cfg.file_path)
+        vid = []
+        for _ in range(5 * n):
+            ok, f = cap.read()
+            if not ok:
+                break
+            vid.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+        cap.release()
+        if vid:
+            imgs = [
+                resize_image(vid[min(i * 5, len(vid) - 1)], cfg.resolution)
+                for i in range(n)
+            ]
+            print(f"[warm] using {n} real frames from {cfg.file_path}",
+                  flush=True)
+    except Exception:
+        pass
+    if imgs is None:
+        imgs = [
+            rng.integers(0, 255, (cfg.resolution, cfg.resolution, 3))
+            .astype(np.uint8)
+            for _ in range(n)
+        ]
+    gpath = str(cfg.gmflow_path)
+    if not (gpath and os.path.exists(gpath)):
+        # no GMFlow checkpoint: random-weight flows give degenerate cf
+        # masks (wrong auto-cap program) and force a full-res GMFlow
+        # compile a real offline run would also skip — same Farneback
+        # fallback as bench.py / evaluate_consistency
+        from fresco_tpu.utils.classic_flow import make_flow_fn
+
+        pipe.bundle.flow_fn = make_flow_fn(imgs)
+
     prompts = ["warmup"] * n
     key = jax.random.key(0)
 
@@ -84,6 +125,39 @@ def main():
     t0 = time.time()
     np.asarray(pipe._decode_jit(pipe.bundle.params, latents))
     print(f"[warm] decode compiled+ran {time.time()-t0:.0f}s", flush=True)
+
+    # patch-synthesis pyramid at the TRUE video frame shape (resolution
+    # applies to the short side, so e.g. a 4:5 clip at 512 runs 512x640
+    # programs; the freeze-compaction tiers compile 1 + len(tiers) pm
+    # scans per level — priming them here is most of a first
+    # propagation run's latency)
+    if not args.no_synthesis:
+        from fresco_tpu.ops.image import resize_image
+        from fresco_tpu.propagate.patchmatch import (
+            PatchMatchConfig, synthesize,
+        )
+
+        h = w = cfg.resolution
+        try:
+            import cv2
+
+            cap = cv2.VideoCapture(cfg.file_path)
+            ok, frame = cap.read()
+            cap.release()
+            if ok:
+                h, w = resize_image(frame, cfg.resolution).shape[:2]
+        except Exception:
+            pass
+        t0 = time.time()
+        style = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+        guides = rng.uniform(0, 255, (h, w, 12)).astype(np.float32)
+        out, _, _ = synthesize(
+            jnp.asarray(style), jnp.asarray(guides), jnp.asarray(guides),
+            jnp.full((12,), 0.5), PatchMatchConfig(), rng=jax.random.key(0),
+        )
+        np.asarray(out)
+        print(f"[warm] synthesis pyramid ({h}x{w}) compiled+ran "
+              f"{time.time()-t0:.0f}s", flush=True)
     print("[warm] cache primed for this (config, resolution, batch)")
 
 

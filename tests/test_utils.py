@@ -35,3 +35,34 @@ def test_phase_timer_collects():
     assert pt.counts["work"] == 1
     assert pt.times["work"] >= 0
     assert "work" in pt.report()
+
+def test_evaluate_consistency_centered_window(tmp_path, monkeypatch):
+    """Long clips are sampled as a CENTERED contiguous window — a
+    head-truncated window would score only the first (double-anchored)
+    keyframe interval."""
+    import cv2
+
+    from fresco_tpu import metrics
+    from fresco_tpu.core.config import FrescoConfig
+    from fresco_tpu.pipeline.runner import FrescoPipeline
+
+    n = 50
+    img = np.zeros((8, 8, 3), np.uint8)
+    for i in range(n):
+        cv2.imwrite(str(tmp_path / ("%04d.png" % i)), img + i)
+
+    seen = {}
+
+    def fake_eval(frames, flow_fn, clip_enc=None):
+        seen["frames"] = np.asarray(frames)
+        return {"warp_error": 0.0}
+
+    monkeypatch.setattr(metrics, "evaluate_translation", fake_eval)
+    pipe = FrescoPipeline.__new__(FrescoPipeline)
+    pipe.config = FrescoConfig(gmflow_path="")
+    out = pipe.evaluate_consistency(str(tmp_path), max_frames=16)
+    assert out == {"warp_error": 0.0}
+    f = seen["frames"]
+    assert f.shape[0] == 16
+    # centered: window starts at (50-16)//2 = 17; frame value encodes index
+    assert int(f[0, 0, 0, 0]) == 17 and int(f[-1, 0, 0, 0]) == 32
