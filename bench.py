@@ -95,23 +95,13 @@ def _bench_frames():
     to synthetic noise if the clip is unavailable."""
     import numpy as np
 
-    try:
+    from fresco_tpu.utils.clips import read_frames
+
+    frames = read_frames("/root/reference/data/music.mp4", FRAMES, stride=5)
+    if frames and len(frames) >= FRAMES:
         import cv2
 
-        cap = cv2.VideoCapture("/root/reference/data/music.mp4")
-        frames = []
-        for _ in range(36):
-            ok, f = cap.read()
-            if not ok:
-                break
-            frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
-        cap.release()
-        if len(frames) >= 36:
-            return [
-                cv2.resize(frames[i], (RES, RES)) for i in range(0, 40, 5)
-            ]
-    except Exception:
-        pass
+        return [cv2.resize(f, (RES, RES)) for f in frames]
     rng = np.random.default_rng(0)
     return [
         rng.integers(0, 255, (RES, RES, 3)).astype(np.uint8)

@@ -47,14 +47,12 @@ class GuidanceConfig:
     # row gathers + segment_sum to scalar-ish loops.  "sparse" = exact
     # 4-tap bilinear gather with a sorted-segment-sum backward; O(hw)
     # work and no big matrices — the right mode off-TPU (CPU tests) or
-    # if XLA's TPU gather emitter improves.  "banded" = block-banded
-    # warp matrices at the finest stage (window of 3 row-blocks of
-    # hw/8): exact while banded_warp_ok holds, 5/8 fewer FLOPs — but
-    # MEASURED NOT FASTER on the v5e (scripts/bench_banded_warp.py:
-    # fwd 4.4 vs 4.9 ms, grad 7.2 vs 3.4 ms — the batch-64 small GEMMs
-    # run at ~33 TF/s vs ~70 for the dense batch-8 shape, Pallas same,
-    # and the window-stack VJP overlap-add dominates the backward), so
-    # "dense" stays the TPU default.
+    # if XLA's TPU gather emitter improves.  ("banded" — block-banded
+    # warp matrices, 5/8 fewer FLOPs — was MEASURED NOT FASTER on the
+    # v5e (scripts/bench_banded_warp.py: fwd 4.4 vs 4.9 ms, grad 7.2 vs
+    # 3.4 ms) and is REJECTED here: its exactness guard banded_warp_ok
+    # is data-dependent and can't run inside this jitted body.  The
+    # building blocks remain exported for host-guarded use.)
     warp_mode: str = "dense"
     # dtype of the gram-matrix matmuls (the FLOPs hot spot: [B, hw, hw]
     # per decoder stage per Adam iter).  bf16 inputs + fp32 accumulation
@@ -302,13 +300,22 @@ def temporal_loss(
     return jnp.mean(l) * 2.0
 
 
-def _corr_chunk(correlation, row0, rows, gram_dtype):
+def _infer_corr_dense(correlation) -> bool:
+    """Shape-based fallback for callers that don't say which form they
+    hold: square [B, hw, hw] reads as dense.  Ambiguous when a FACTORED
+    [B, hw, C] happens to have hw == C — producers must pass the explicit
+    ``is_dense`` flag (the sampler does; prepare.intraframe_params always
+    emits factored)."""
+    return correlation.shape[1] == correlation.shape[2]
+
+
+def _corr_chunk(correlation, row0, rows, gram_dtype, is_dense):
     """One row-chunk of the reference gram.  ``correlation`` is either the
     dense gram [B, hw, hw] or the FACTORED normalized reference features
-    [B, hw, C] (C != hw) — the factored form stores 320 channels instead
-    of a 4096-wide gram (537 MB -> 40 MB resident at 512px stage 3) and
+    [B, hw, C] — the factored form stores 320 channels instead of a
+    4096-wide gram (537 MB -> 40 MB resident at 512px stage 3) and
     reconstructs chunks exactly on the MXU."""
-    if correlation.shape[1] == correlation.shape[2]:  # dense gram
+    if is_dense:
         return jax.lax.dynamic_slice_in_dim(
             correlation, row0, rows, axis=1
         ).astype(jnp.promote_types(correlation.dtype, jnp.float32))
@@ -317,8 +324,8 @@ def _corr_chunk(correlation, row0, rows, gram_dtype):
     return jnp.einsum("bic,bjc->bij", vc, vr, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gram_l1(v_hat, correlation, gram_dtype, chunk_rows):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _gram_l1(v_hat, correlation, gram_dtype, chunk_rows, is_dense):
     """mean |v̂v̂ᵀ − C| with an ANALYTIC backward.
 
     Autodiff of the chunked gram loss (checkpoint + scan) measured ~10%
@@ -336,16 +343,23 @@ def _gram_l1(v_hat, correlation, gram_dtype, chunk_rows):
             preferred_element_type=jnp.float32,
         )
         total = total + jnp.sum(
-            jnp.abs(g - _corr_chunk(correlation, i * rows, rows, gram_dtype))
+            jnp.abs(
+                g - _corr_chunk(correlation, i * rows, rows, gram_dtype,
+                                is_dense)
+            )
         )
     return total / (b * hw * hw)
 
 
-def _gram_l1_fwd(v_hat, correlation, gram_dtype, chunk_rows):
-    return _gram_l1(v_hat, correlation, gram_dtype, chunk_rows), (v_hat, correlation)
+def _gram_l1_fwd(v_hat, correlation, gram_dtype, chunk_rows, is_dense):
+    return (
+        _gram_l1(v_hat, correlation, gram_dtype, chunk_rows, is_dense),
+        (v_hat, correlation),
+    )
 
 
-def _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows):
+def _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows,
+                  is_dense=None):
     """∂/∂v̂ of mean |v̂v̂ᵀ − C| = (S + Sᵀ)v̂ / N with S = sign(G − C),
     computed in row chunks.  Shared by the custom-vjp backward and the
     grad-only Adam path (which never materializes the loss value).
@@ -360,7 +374,9 @@ def _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows):
     under XLA (small-K MXU inefficiency) and S round-tripped HBM; the
     kernel keeps S in VMEM and runs both dots back-to-back."""
     b, hw, c = v_hat.shape
-    if correlation.shape[1] == correlation.shape[2]:
+    if is_dense is None:
+        is_dense = _infer_corr_dense(correlation)
+    if is_dense:
         from fresco_tpu.ops import gram_kernel
 
         if gram_kernel.supported(hw, gram_dtype):
@@ -377,7 +393,7 @@ def _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows):
         vc = jax.lax.dynamic_slice_in_dim(vg, row0, rows, axis=1)
         g = jnp.einsum("bic,bjc->bij", vc, vg, preferred_element_type=jnp.float32)
         s = jnp.sign(
-            g - _corr_chunk(correlation, row0, rows, gram_dtype)
+            g - _corr_chunk(correlation, row0, rows, gram_dtype, is_dense)
         ).astype(gram_dtype)
         g_rows = jnp.einsum(
             "bij,bjc->bic", s, vg, preferred_element_type=jnp.float32
@@ -390,9 +406,11 @@ def _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows):
     return grad / (b * hw * hw)
 
 
-def _gram_l1_bwd(gram_dtype, chunk_rows, res, ct):
+def _gram_l1_bwd(gram_dtype, chunk_rows, is_dense, res, ct):
     v_hat, correlation = res
-    grad = _gram_l1_grad(v_hat, correlation, gram_dtype, chunk_rows) * ct
+    grad = _gram_l1_grad(
+        v_hat, correlation, gram_dtype, chunk_rows, is_dense
+    ) * ct
     return grad.astype(v_hat.dtype), jnp.zeros_like(correlation)
 
 
@@ -410,13 +428,20 @@ def spatial_loss(
     correlation: jnp.ndarray,
     gram_dtype=jnp.bfloat16,
     chunk_rows: int = 1024,
+    is_dense: bool | None = None,
 ) -> jnp.ndarray:
     """L1 between normalized-feature gram and the reference gram
     (diffusion_hacked.py:469-476).  correlation: dense [B, hw, hw] or
-    factored normalized reference features [B, hw, C] (see _corr_chunk).
+    factored normalized reference features [B, hw, C] (see _corr_chunk);
+    pass ``is_dense`` explicitly when hw could equal C (the shape
+    inference is ambiguous there).
     """
+    if is_dense is None:
+        is_dense = _infer_corr_dense(correlation)
     v = _normalize_rows(cs)
-    return _gram_l1(v, correlation, gram_dtype, min(chunk_rows, v.shape[1]))
+    return _gram_l1(
+        v, correlation, gram_dtype, min(chunk_rows, v.shape[1]), is_dense
+    )
 
 
 def spatial_grad(
@@ -424,6 +449,7 @@ def spatial_grad(
     correlation: jnp.ndarray,
     gram_dtype=jnp.bfloat16,
     chunk_rows: int = 1024,
+    is_dense: bool | None = None,
 ) -> jnp.ndarray:
     """∂ spatial_loss/∂cs WITHOUT evaluating the loss.  The Adam loop
     only consumes gradients, but ``jax.grad(loss)`` still executes the
@@ -432,7 +458,9 @@ def spatial_grad(
     matmuls per optimization iter (they dominate feature-opt FLOPs,
     PERF.md)."""
     v, vjp = jax.vjp(_normalize_rows, cs)
-    gv = _gram_l1_grad(v, correlation, gram_dtype, min(chunk_rows, v.shape[1]))
+    gv = _gram_l1_grad(
+        v, correlation, gram_dtype, min(chunk_rows, v.shape[1]), is_dense
+    )
     return vjp(gv.astype(v.dtype))[0]
 
 
@@ -444,13 +472,17 @@ def optimize_feature(
     bwd_occ: jnp.ndarray | None,
     correlation: jnp.ndarray | None,
     cfg: GuidanceConfig = GuidanceConfig(),
+    corr_is_dense: bool | None = None,
 ) -> jnp.ndarray:
     """Run the inner Adam loop on one decoder feature map.
 
     sample: [chunk*F, h, w, C] (any dtype; optimized in fp32);
     flows [F, H, W, 2] at *full* video resolution (rescaled here, matching
-    diffusion_hacked.py:436-442); correlation [chunk*F, hw, hw] or None.
-    Returns the optimized feature AdaIN-matched to ``sample``'s stats.
+    diffusion_hacked.py:436-442); correlation is the dense gram
+    [chunk*F, hw, hw], the factored reference features [chunk*F, hw, C]
+    (what prepare.intraframe_params emits — pass corr_is_dense=False),
+    or None.  Returns the optimized feature AdaIN-matched to ``sample``'s
+    stats.
     """
     do_temporal = cfg.optimize_temporal and fwd_flow is not None
     do_spatial = correlation is not None and cfg.intra_weight > 0
@@ -474,24 +506,30 @@ def optimize_feature(
             fwd_flow, fwd_occ, (h, w), dilate_full_res=False
         )
         # warp structure built once per call, reused by all Adam iters
-        hw_stage = h * w
-        banded = (
-            cfg.warp_mode == "banded"
-            and hw_stage >= 4096          # finest stage only: the band
-            and hw_stage % 8 == 0         # guard (banded_warp_ok) holds
-            and (hw_stage // 8) % 128 == 0  # at this scale; MXU-aligned
-        )
-        if banded:
-            fwd_warp = warp_matrix_banded(fwd_flow_s, gram_dtype)
-            bwd_warp = warp_matrix_banded(bwd_flow_s, gram_dtype)
-        elif cfg.warp_mode == "sparse":
+        if cfg.warp_mode == "banded":
+            # NOT dispatched here: exactness needs the DATA-dependent
+            # banded_warp_ok guard (max |flow| within the window), which
+            # cannot run inside this jitted body — out-of-window taps
+            # would be dropped silently.  The banded form is also
+            # measured slower than dense on the v5e (PERF.md); callers
+            # who want it must build warp_matrix_banded themselves after
+            # checking banded_warp_ok on the host.
+            raise ValueError(
+                "warp_mode='banded' is not supported inside "
+                "optimize_feature; use warp_matrix_banded + "
+                "banded_warp_ok directly (see PERF.md — dense is faster "
+                "on TPU anyway)"
+            )
+        if cfg.warp_mode == "sparse":
             fwd_warp = make_sparse_warp(fwd_flow_s)
             bwd_warp = make_sparse_warp(bwd_flow_s)
         else:
             fwd_warp = warp_matrix(fwd_flow_s, gram_dtype)
             bwd_warp = warp_matrix(bwd_flow_s, gram_dtype)
 
-    if do_spatial and correlation.shape[1] != correlation.shape[2]:
+    if do_spatial and corr_is_dense is None:
+        corr_is_dense = _infer_corr_dense(correlation)
+    if do_spatial and not corr_is_dense:
         b_c, hw_c = correlation.shape[:2]
         dense_mb = b_c * hw_c * hw_c * jnp.dtype(gram_dtype).itemsize / 2**20
         if dense_mb <= cfg.dense_corr_max_mb:
@@ -501,6 +539,7 @@ def optimize_feature(
                     "bic,bjc->bij", vr, vr, preferred_element_type=jnp.float32
                 ).astype(gram_dtype)
             )
+            corr_is_dense = True
 
     x0 = sample.astype(work_dtype)
 
@@ -516,7 +555,9 @@ def optimize_feature(
                 )
             )(cs)
         if do_spatial:
-            g = g + cfg.intra_weight * spatial_grad(cs, correlation, gram_dtype)
+            g = g + cfg.intra_weight * spatial_grad(
+                cs, correlation, gram_dtype, is_dense=corr_is_dense
+            )
         return g
 
     tx = optax.adam(cfg.lr)  # torch Adam defaults: b1=.9, b2=.999, eps=1e-8

@@ -186,6 +186,10 @@ class FrescoSampler:
                         fresco.bwd_occ,
                         corr,
                         cfg.guidance,
+                        # intraframe_params always emits the FACTORED
+                        # form; the shape sniff is ambiguous when a
+                        # stage's hw equals its channel count
+                        corr_is_dense=False,
                     )
                     if fresco.saliency is not None and fresco.fwd_flow is not None:
                         y = warp_and_fuse(

@@ -62,27 +62,42 @@ def _pick_tiles(hw: int, c: int, itemsize: int) -> tuple[int, int]:
 
     # budget 7 MB: Mosaic's real allocation ran ~1.6x this model's
     # estimate (measured 16.12 MB vs 10 MB estimated at c=1280, 512x512
-    # tiles), so the headroom keeps worst case near ~11 MB of the 16
-    for bm, bn in ((512, 512), (256, 512), (256, 256), (128, 256)):
+    # tiles), so the headroom keeps worst case near ~11 MB of the 16.
+    # Tiles MUST divide hw — the grid floor-divides, so a non-divisor
+    # tile silently drops the remainder rows/columns (non-square videos
+    # hit this: 512x640 gives the c=640 stage hw=1280, where 512-wide
+    # tiles covered only 1024 of the rows).
+    for bm, bn in ((512, 512), (256, 512), (256, 256), (128, 256),
+                   (128, 128)):
         bm, bn = min(bm, hw), min(bn, hw)
+        if hw % bm or hw % bn:
+            continue
         if vmem(bm, bn) <= 7 * 2**20:
             return bm, bn
     return min(128, hw), min(128, hw)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn"))
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "interpret"))
 def sign_gram_apply(v: jnp.ndarray, corr: jnp.ndarray,
-                    bm: int | None = None, bn: int | None = None) -> jnp.ndarray:
+                    bm: int | None = None, bn: int | None = None,
+                    interpret: bool | None = None) -> jnp.ndarray:
     """sign(v·vᵀ − corr)·v with f32 output, fused on TPU.
 
     v [B, hw, c] (gram dtype: bf16 / f32); corr [B, hw, hw] dense gram
-    in the same dtype.  hw must divide by the tile sizes (the caller
-    gates on that).  Returns [B, hw, c] f32 — the UNSCALED S·v product
-    (caller applies the 2/N factor)."""
+    in the same dtype.  The tile sizes must divide hw (auto-picked ones
+    always do; explicit ones are checked).  Returns [B, hw, c] f32 —
+    the UNSCALED S·v product (caller applies the 2/N factor)."""
     b, hw, c = v.shape
     auto_bm, auto_bn = _pick_tiles(hw, c, v.dtype.itemsize)
     bm = min(bm or auto_bm, hw)
     bn = min(bn or auto_bn, hw)
+    if hw % bm or hw % bn:
+        raise ValueError(
+            f"tile sizes ({bm}, {bn}) must divide hw={hw} — the grid "
+            "floor-divides and would silently drop the remainder"
+        )
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
     nj = hw // bn
     return pl.pallas_call(
         functools.partial(_sign_gram_kernel, nj=nj),
@@ -95,6 +110,7 @@ def sign_gram_apply(v: jnp.ndarray, corr: jnp.ndarray,
         out_specs=pl.BlockSpec((1, bm, c), lambda b_, i, j: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hw, c), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, c), jnp.float32)],
+        interpret=interpret,
     )(v, v, corr)
 
 

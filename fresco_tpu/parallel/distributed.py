@@ -80,9 +80,11 @@ def initialize(
         return False  # single-process launch: nothing to rendezvous with
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:  # pragma: no cover - environment dependent
-        # the one expected failure: XLA already initialized (some other
-        # import touched the backend first) — fall back, loudly
+    except (RuntimeError, ValueError, TypeError) as e:  # pragma: no cover
+        # expected failures ("never raises" contract): RuntimeError when
+        # XLA was already initialized by an earlier import; ValueError/
+        # TypeError from jax.distributed's argument validation on
+        # incomplete rendezvous info — fall back, loudly
         print(f"[fresco_tpu] single-process mode ({e})")
         return False
     return jax.process_count() > 1

@@ -93,28 +93,39 @@ def encode_prompts(
     return jnp.take(emb, jnp.asarray([index[t] for t in texts]), axis=0)
 
 
-# weak keys: a dead encoder's entry (and the compiled closure pinning it)
-# is collectable, so repeated pipeline construction doesn't leak (r2
-# advisor: the id()-keyed dict grew unboundedly and pinned encoders alive)
+# Identity-keyed weak cache: a dead encoder's entry (and the compiled
+# closure pinning it) is evicted by the weakref callback, so repeated
+# pipeline construction doesn't leak (r2 advisor: the plain id()-keyed
+# dict grew unboundedly and pinned encoders alive).  NOT a
+# WeakKeyDictionary: flax modules are frozen dataclasses, so two
+# different encoder INSTANCES with equal config hash equal — an
+# equality-keyed cache could return a closure weakly bound to the other
+# instance, which crashes once that instance is collected.
 import weakref
 
-_ENCODE_JIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_ENCODE_JIT_CACHE: dict = {}  # id(enc) -> (weakref(enc), {clip_skip: fn})
 
 
 def _jitted_apply(text_encoder, clip_skip: int):
-    """Jit the CLIP forward per (encoder, clip_skip).  Eager flax apply
-    dispatches hundreds of ops individually — ~1.3 s/batch over the
-    remote-tunnel TPU vs ~10 ms jitted."""
+    """Jit the CLIP forward per (encoder instance, clip_skip).  Eager
+    flax apply dispatches hundreds of ops individually — ~1.3 s/batch
+    over the remote-tunnel TPU vs ~10 ms jitted."""
     import jax
 
-    per_skip = _ENCODE_JIT_CACHE.get(text_encoder)
-    if per_skip is None:
-        per_skip = _ENCODE_JIT_CACHE[text_encoder] = {}
+    key = id(text_encoder)
+    entry = _ENCODE_JIT_CACHE.get(key)
+    if entry is None or entry[0]() is not text_encoder:
+        def _evict(_ref, key=key):
+            _ENCODE_JIT_CACHE.pop(key, None)
+
+        # weak capture: a strong ref in the closure would keep the
+        # encoder alive through the cache's own value, defeating eviction
+        entry = _ENCODE_JIT_CACHE[key] = (
+            weakref.ref(text_encoder, _evict), {},
+        )
+    enc_ref, per_skip = entry
     fn = per_skip.get(clip_skip)
     if fn is None:
-        # weak capture: a strong ref in the closure would keep the weak
-        # KEY alive through the cache's own value, defeating eviction
-        enc_ref = weakref.ref(text_encoder)
         fn = per_skip[clip_skip] = jax.jit(
             lambda p, ids: enc_ref().apply(p, ids, clip_skip=clip_skip)
         )

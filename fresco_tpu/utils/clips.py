@@ -1,0 +1,33 @@
+"""Small shared helper for reading clip frames in benches/tools.
+
+bench.py, scripts/bench_full_pipeline.py, and scripts/warm_cache.py all
+need "first N RGB frames of a clip, or a fallback" — one home for the
+cv2 plumbing instead of three drifting copies.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def read_frames(path: str, count: int, stride: int = 1) -> list | None:
+    """Up to ``count`` RGB uint8 frames sampled every ``stride`` frames.
+
+    Returns None when the clip can't be opened (missing file, cv2
+    unavailable) or yields no frames — callers fall back to synthetic
+    data.  May return fewer than ``count`` frames on short clips."""
+    try:
+        import cv2
+    except Exception:  # pragma: no cover - cv2 is baked into this env
+        return None
+    cap = cv2.VideoCapture(path)
+    frames: list = []
+    i = 0
+    while len(frames) < count:
+        ok, f = cap.read()
+        if not ok:
+            break
+        if i % stride == 0:
+            frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+        i += 1
+    cap.release()
+    return frames or None

@@ -74,25 +74,20 @@ def main():
     # cross-frame key valid (degenerate masks -> dense attention under
     # cf_key_cap='auto'); real content carries the representative ~1.3*hw
     # valid-key statistics (see bench.py)
-    try:
+    from fresco_tpu.utils.clips import read_frames
+
+    vid = read_frames("/root/reference/data/music.mp4", args.frames, stride=5)
+    if vid:
         import cv2
 
-        cap = cv2.VideoCapture("/root/reference/data/music.mp4")
-        vid = []
-        for _ in range(5 * args.frames):
-            ok, f = cap.read()
-            if not ok:
-                break
-            vid.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
-        cap.release()
         imgs = [
-            cv2.resize(vid[min(i * 5, len(vid) - 1)], (args.res, args.res))
+            cv2.resize(vid[min(i, len(vid) - 1)], (args.res, args.res))
             for i in range(args.frames)
         ]
         from fresco_tpu.utils.classic_flow import make_flow_fn
 
         pipe.bundle.flow_fn = make_flow_fn(imgs)
-    except Exception:
+    else:
         rng = np.random.default_rng(0)
         imgs = [
             rng.integers(0, 255, (args.res, args.res, 3)).astype(np.uint8)

@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", nargs="?", default=None)
-    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--res", type=int, default=None,
+                    help="override resolution (default: the config's; "
+                         "512 when config-less)")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--no-synthesis", action="store_true",
                     help="skip the patch-synthesis pyramid priming")
@@ -49,7 +51,7 @@ def main():
         cfg = cfg.replace(resolution=args.res or cfg.resolution)
     else:
         cfg = FrescoConfig(
-            resolution=args.res, batch_size=args.frames,
+            resolution=args.res or 512, batch_size=args.frames,
             controlnet_type="canny", prompt="warmup",
         )
 
@@ -70,29 +72,19 @@ def main():
     # key cap sizes its compaction (and therefore the compiled program)
     # from the MEASURED valid-key count, so synthetic-noise masks would
     # prime programs a real run never executes
-    imgs = None
-    try:
-        import cv2
+    from fresco_tpu.utils.clips import read_frames
 
+    imgs = None
+    vid = read_frames(str(cfg.file_path), n, stride=5)
+    if vid:
         from fresco_tpu.ops.image import resize_image
 
-        cap = cv2.VideoCapture(cfg.file_path)
-        vid = []
-        for _ in range(5 * n):
-            ok, f = cap.read()
-            if not ok:
-                break
-            vid.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
-        cap.release()
-        if vid:
-            imgs = [
-                resize_image(vid[min(i * 5, len(vid) - 1)], cfg.resolution)
-                for i in range(n)
-            ]
-            print(f"[warm] using {n} real frames from {cfg.file_path}",
-                  flush=True)
-    except Exception:
-        pass
+        imgs = [
+            resize_image(vid[min(i, len(vid) - 1)], cfg.resolution)
+            for i in range(n)
+        ]
+        print(f"[warm] using {n} real frames from {cfg.file_path}",
+              flush=True)
     if imgs is None:
         imgs = [
             rng.integers(0, 255, (cfg.resolution, cfg.resolution, 3))
@@ -138,16 +130,9 @@ def main():
         )
 
         h = w = cfg.resolution
-        try:
-            import cv2
-
-            cap = cv2.VideoCapture(cfg.file_path)
-            ok, frame = cap.read()
-            cap.release()
-            if ok:
-                h, w = resize_image(frame, cfg.resolution).shape[:2]
-        except Exception:
-            pass
+        first = read_frames(str(cfg.file_path), 1)
+        if first:
+            h, w = resize_image(first[0], cfg.resolution).shape[:2]
         t0 = time.time()
         style = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
         guides = rng.uniform(0, 255, (h, w, 12)).astype(np.float32)

@@ -243,3 +243,47 @@ def test_banded_warp_ok_rejects_large_flow(rng):
     f, h, w = 1, 64, 8
     flow = jnp.full((f, h, w, 2), 30.0, jnp.float32)
     assert not banded_warp_ok(flow, (h, w))
+
+
+def test_factored_corr_with_hw_equal_channels(rng):
+    """A factored correlation whose channel count EQUALS hw is shape-
+    ambiguous (looks square); the explicit is_dense flag must route it
+    through the factored math (regression: the shape sniff misread it
+    as a dense gram and computed sign(G − v̂) garbage).  The sampler
+    passes corr_is_dense=False for everything intraframe_params emits."""
+    import jax
+
+    from fresco_tpu.diffusion.guidance import (
+        optimize_feature, spatial_loss,
+    )
+
+    b, h, w, c = 1, 4, 4, 16  # hw == C == 16: ambiguous shape
+    cs = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    vr = rng.standard_normal((b, h * w, c)).astype(np.float32)
+    vr /= np.linalg.norm(vr, axis=2, keepdims=True)
+    dense = jnp.asarray(np.einsum("bic,bjc->bij", vr, vr))
+
+    l_dense = float(spatial_loss(cs, dense, jnp.float32, is_dense=True))
+    l_fact = float(
+        spatial_loss(cs, jnp.asarray(vr), jnp.float32, is_dense=False)
+    )
+    np.testing.assert_allclose(l_dense, l_fact, rtol=1e-5)
+
+    from fresco_tpu.diffusion.guidance import GuidanceConfig
+
+    # float32 grams: the bf16 default rounds the materialized dense C
+    # differently from a caller-provided f32 dense (documented near-tie
+    # divergence), which would mask the routing equivalence under test
+    cfg = GuidanceConfig(
+        iters=2, optimize_temporal=False, gram_dtype="float32"
+    )
+    out_d = optimize_feature(
+        cs, None, None, None, None, dense, cfg, corr_is_dense=True
+    )
+    out_f = optimize_feature(
+        cs, None, None, None, None, jnp.asarray(vr), cfg,
+        corr_is_dense=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_f), atol=1e-5, rtol=1e-4
+    )

@@ -188,3 +188,23 @@ def test_patchmatch_compact_tiers_reconstruction(rng):
         m = 5
         diff = np.abs(np.asarray(out)[m:-m, m:-m] - style[m:-m, m:-m]).mean()
         assert diff < 10.0, f"tiers {tiers}: mean abs diff {diff}"
+
+
+def test_video_blend_cli_propagation_knobs(monkeypatch):
+    """--trim/--stop-threshold reach blend_video as a PatchMatchConfig;
+    omitting them keeps the library defaults."""
+    from fresco_tpu.propagate import video_blend
+    from fresco_tpu.propagate.patchmatch import PatchMatchConfig
+
+    seen = {}
+    monkeypatch.setattr(
+        video_blend, "blend_video",
+        lambda *a, **kw: seen.update(kw),
+    )
+    video_blend.main(["clip", "--key_ind", "0", "7",
+                      "--trim", "2", "--stop-threshold", "3.5"])
+    cfg = seen["patch_cfg"]
+    assert cfg.trim_seeded_levels == 2 and cfg.stop_threshold == 3.5
+
+    video_blend.main(["clip", "--key_ind", "0", "7"])
+    assert seen["patch_cfg"] == PatchMatchConfig()
