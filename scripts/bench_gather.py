@@ -77,6 +77,11 @@ def main():
             (326, jnp.float32),
             (128, jnp.bfloat16),
             (512, jnp.bfloat16),
+            # uint8 storage candidate (PERF.md round-4 queue): halves
+            # the row bytes; quantization error comparable to bf16's
+            # ~1-unit steps at [128, 256)
+            (326, jnp.uint8),
+            (384, jnp.uint8),
         ):
             bench(width, dtype, idx_mode)
 
