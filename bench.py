@@ -169,10 +169,39 @@ def bench_pipeline(use_opt: bool):
     return FRAMES / best
 
 
+def _wait_for_device(max_wait_s: int = 1800, probe_interval: int = 60) -> bool:
+    """The axon tunnel occasionally drops (CLAUDE.md); in-process backend
+    init then HANGS or raises UNAVAILABLE, which would lose the whole
+    bench run.  Probe in a subprocess (killable on hang, unlike the
+    in-process init) until the backend answers, then init in-process."""
+    import subprocess
+
+    t0 = time.time()
+    while True:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices())"],
+                capture_output=True, timeout=120, text=True,
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > max_wait_s:
+            print(f"[bench] device backend unreachable after {max_wait_s}s",
+                  file=sys.stderr, flush=True)
+            return False
+        print("[bench] device backend not answering (tunnel outage?); "
+              f"retrying in {probe_interval}s", file=sys.stderr, flush=True)
+        time.sleep(probe_interval)
+
+
 def main():
     from fresco_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if not _wait_for_device():
+        return 1
 
     t0 = time.perf_counter()
     plain = bench_plain_loop()
@@ -226,4 +255,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
