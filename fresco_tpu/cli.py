@@ -37,13 +37,9 @@ def main(argv=None):
     keys = pipe.translate_keyframes()
 
     if not opt.keyframes_only and config.run_ebsynth:
-        from fresco_tpu.propagate.video_blend import blend_video
+        from fresco_tpu.propagate.video_blend import blend_video, get_fps
 
-        import cv2
-
-        cap = cv2.VideoCapture(config.file_path)
-        fps = int(cap.get(cv2.CAP_PROP_FPS))
-        cap.release()
+        fps = get_fps(config.file_path) or 30
         blend_dir = blend_video(
             config.save_path,
             key_ind=keys,

@@ -83,8 +83,11 @@ class FrescoSampler:
         """Static per-step gate arrays for the scan (pipe_FRESCO.py:171-174,
         222-228; run_fresco.py:232 end_opt_step)."""
         s = self.scheduler
-        ts = s.timesteps_np[cfg.num_warmup_steps :]
-        idx = np.arange(len(ts)) + cfg.num_warmup_steps
+        # negative warmup = x0_strength > 1: pure-noise init, ALL steps
+        # run (pipe_FRESCO.py:155-157)
+        warmup = max(cfg.num_warmup_steps, 0)
+        ts = s.timesteps_np[warmup:]
+        idx = np.arange(len(ts)) + warmup
         return dict(
             t=jnp.asarray(ts),
             use_intra=jnp.asarray(np.arange(len(ts)) < cfg.num_intraattn_steps),
@@ -133,11 +136,17 @@ class FrescoSampler:
         else:
             noise = jax.random.normal(rng_init, noise_shape, lat_t)
 
-        latent_x0 = self.vae.apply(
-            params["vae"], frames, rng=rng_enc, method=self.vae.encode
-        ).astype(lat_t)
-        t_init = s.timesteps[cfg.num_warmup_steps]
-        latents = s.add_noise(latent_x0, noise, t_init)
+        if cfg.num_warmup_steps < 0:
+            # x0_strength > 1: ignore the input frames entirely — pure
+            # Gaussian init and the full step schedule
+            # (pipe_FRESCO.py:155-157; DDPM init_noise_sigma = 1)
+            latents = noise
+        else:
+            latent_x0 = self.vae.apply(
+                params["vae"], frames, rng=rng_enc, method=self.vae.encode
+            ).astype(lat_t)
+            t_init = s.timesteps[cfg.num_warmup_steps]
+            latents = s.add_noise(latent_x0, noise, t_init)
 
         gates = self._step_gates(cfg)
         n_steps = int(gates["t"].shape[0])
@@ -270,7 +279,7 @@ class FrescoSampler:
         xs = (
             gates["t"], gates["use_intra"], gates["use_inter"],
             gates["do_opt"], gates["do_bg"], gates["step_index"],
-            record_in, cond_scale[cfg.num_warmup_steps :],
+            record_in, cond_scale[max(cfg.num_warmup_steps, 0) :],
         )
         latents, record_out = jax.lax.scan(body, latents, xs)
         return latents, record_out

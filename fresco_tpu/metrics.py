@@ -28,9 +28,11 @@ def warp_error(
     warped = flow_warp(frames, bwd)  # frame i warped onto frame i+1's grid
     valid = (1.0 - bwd_occ)[..., None]
     err = jnp.abs(rolled - warped) * valid
-    denom = jnp.maximum(jnp.sum(valid) * 3, 1.0)
-    # exclude the wraparound pair (last -> first)
-    return float(jnp.sum(err[: f - 1]) / denom * f / max(f - 1, 1))
+    # exclude the wraparound pair (last -> first) from BOTH sums: the
+    # artificial pair's (usually much lower) valid count would otherwise
+    # bias the mean through a uniform f/(f-1) correction
+    denom = jnp.maximum(jnp.sum(valid[: f - 1]) * 3, 1.0)
+    return float(jnp.sum(err[: f - 1]) / denom)
 
 
 def clip_frame_similarity(

@@ -125,8 +125,13 @@ def infer_vision_config(sd) -> CLIPVisionConfig:
     inter = np.asarray(sd[f"{p}encoder.layers.0.mlp.fc1.weight"]).shape[0]
     proj = sd.get("visual_projection.weight")
     proj_dim = np.asarray(proj).shape[0] if proj is not None else hidden
-    # heads: HF ties head_dim to 64 across CLIP vision variants
-    heads = max(hidden // 64, 1)
+    # heads are not recoverable from fused-QKV checkpoint shapes; the
+    # known HF CLIP vision towers pin them per hidden size (ViT-B 768/12,
+    # ViT-L 1024/16, ViT-H 1280/16 head_dim 80, ViT-bigG 1664/16 head_dim
+    # 104) — the //64 heuristic silently mis-grouped the >=1280 variants
+    heads = {768: 12, 1024: 16, 1280: 16, 1664: 16}.get(
+        hidden, max(hidden // 64, 1)
+    )
     return CLIPVisionConfig(
         hidden_size=hidden, num_layers=n_layers, num_heads=heads,
         intermediate_size=inter, image_size=image_size, patch_size=patch,

@@ -282,6 +282,39 @@ def _maybe_apply_lora(params, config):
 class FrescoPipeline:
     """run_fresco-equivalent orchestration."""
 
+    @staticmethod
+    def _make_sampler_cfg(config: FrescoConfig) -> SamplerConfig:
+        gcfg = GuidanceConfig(
+            iters=config.opt_iters, lr=config.opt_lr,
+            intra_weight=config.intra_weight,
+            optimize_temporal=config.optimize_temporal,
+            gram_dtype=config.gram_dtype,
+        )
+        return SamplerConfig(
+            num_inference_steps=config.num_inference_steps,
+            num_warmup_steps=config.num_warmup_steps,
+            guidance_scale=config.guidance_scale,
+            use_controlnet=config.use_controlnet,
+            repeat_noise=config.repeat_noise,
+            num_intraattn_steps=config.num_intraattn_steps,
+            step_interattn_end=config.step_interattn_end,
+            bg_smoothing_steps=tuple(config.bg_smoothing_steps),
+            end_opt_step=config.end_opt_step,
+            guidance=gcfg,
+            do_opt=config.use_fresco_opt,
+        )
+
+    def set_config(self, config: FrescoConfig) -> None:
+        """Adopt a new config WITHOUT rebuilding the models.  Everything
+        the sampler reads per batch (steps, warmup, guidance scale,
+        attention/opt toggles, bg smoothing) is re-derived here; a
+        changed step count just retraces on the next batch.  Fields that
+        alter the BUILT models — sd_path, lora_*, controlnet_type,
+        use_freeu, use_saliency, dtype — still require a fresh
+        FrescoPipeline (the WebUI's GlobalState tracks those)."""
+        self.config = config
+        self._base_sampler_cfg = self._make_sampler_cfg(config)
+
     def __init__(self, config: FrescoConfig, bundle: ModelBundle | None = None,
                  *, tiny: bool = False):
         self.config = config
@@ -301,29 +334,12 @@ class FrescoPipeline:
                 b.params, shard_model_params(b.params, self.mesh)
             )
 
-        gcfg = GuidanceConfig(
-            iters=config.opt_iters, lr=config.opt_lr,
-            intra_weight=config.intra_weight,
-            optimize_temporal=config.optimize_temporal,
-            gram_dtype=config.gram_dtype,
-        )
-        self._base_sampler_cfg = SamplerConfig(
-            num_inference_steps=config.num_inference_steps,
-            num_warmup_steps=config.num_warmup_steps,
-            guidance_scale=config.guidance_scale,
-            use_controlnet=config.use_controlnet,
-            repeat_noise=config.repeat_noise,
-            num_intraattn_steps=config.num_intraattn_steps,
-            step_interattn_end=config.step_interattn_end,
-            bg_smoothing_steps=tuple(config.bg_smoothing_steps),
-            end_opt_step=config.end_opt_step,
-            guidance=gcfg,
-            do_opt=config.use_fresco_opt,
-        )
+        self._base_sampler_cfg = self._make_sampler_cfg(config)
 
         self._sample_jit = jax.jit(
             self.sampler.sample, static_argnames=("cfg",)
         )
+
         self._interframe_jit = jax.jit(self._interframe)
         self._intraframe_jit = jax.jit(self._intraframe)
         self._decode_jit = jax.jit(self.sampler.decode)

@@ -39,12 +39,17 @@ def positional_first(h: int, w: int) -> np.ndarray:
 
 def warp_nearest(img: np.ndarray, bwd_flow: np.ndarray) -> np.ndarray:
     """Nearest-neighbor backward warp with cv2.remap (host equivalent of
-    flow/flow_utils.py:228-242)."""
+    flow/flow_utils.py:228-242).  Bool masks ride a float round-trip the
+    same way the reference's warp does (cv2.remap rejects bool)."""
     h, w = img.shape[:2]
     xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
                          np.arange(h, dtype=np.float32))
     mapx = xs + bwd_flow[..., 0]
     mapy = ys + bwd_flow[..., 1]
+    if img.dtype == np.bool_:
+        out = cv2.remap(img.astype(np.float32), mapx, mapy,
+                        cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT)
+        return out > 0.5
     return cv2.remap(img, mapx, mapy, cv2.INTER_NEAREST,
                      borderMode=cv2.BORDER_CONSTANT)
 

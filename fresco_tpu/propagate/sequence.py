@@ -71,10 +71,16 @@ class VideoSequence:
 
     # --- per-interval sequences (video_sequence.py:63-152) -----------------
     def _ids(self, seq_i: int, is_forward: bool) -> list[int]:
+        """Reference-exact frame ids (video_sequence.py:63-75): the
+        forward chain covers beg..end-1 (the interval's own key plus its
+        in-betweens; the NEXT key belongs to the next interval), the
+        backward chain end..beg+1 — note it is NOT the forward list
+        reversed."""
         beg = self.get_sequence_beg_id(seq_i)
         end = self.get_sequence_beg_id(seq_i + 1)
-        ids = list(range(beg, end + 1))
-        return ids if is_forward else ids[::-1]
+        if is_forward:
+            return list(range(beg, end))
+        return list(range(end, beg, -1))
 
     def get_input_sequence(self, seq_i: int, is_forward: bool = True):
         return [self.get_input_img(i) for i in self._ids(seq_i, is_forward)]
@@ -103,18 +109,20 @@ class VideoSequence:
         return self._guide_sequence(seq_i, is_forward, "pos_")
 
     def get_flow_sequence(self, seq_i: int, is_forward: bool = True):
-        """Flow cache paths; forward chains store flow_f_<id>.npy for
-        ids beg..end-1, backward flow_b_<id>.npy for end..beg+1."""
+        """Flow cache paths (video_sequence.py:138-152): forward chains
+        store flow_f_<id>.npy for ids beg..end-2 (one per consecutive
+        pair of the beg..end-1 chain), backward flow_b_<id>.npy for
+        end..beg+2."""
         beg = self.get_sequence_beg_id(seq_i)
         end = self.get_sequence_beg_id(seq_i + 1)
         if is_forward:
             return [
                 os.path.join(self.tmp_dir, "flow_f_%04d.npy" % i)
-                for i in range(beg, end)
+                for i in range(beg, end - 1)
             ]
         return [
             os.path.join(self.tmp_dir, "flow_b_%04d.npy" % i)
-            for i in range(end, beg, -1)
+            for i in range(end, beg + 1, -1)
         ]
 
     # --- directory lifecycle (video_sequence.py:57-61,180-187) -------------

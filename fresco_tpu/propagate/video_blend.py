@@ -29,6 +29,7 @@ from fresco_tpu.propagate.guides import (
     edge_guide,
     inpaint_occluded,
     positional_chain,
+    temporal_guide,
     warp_nearest,
 )
 from fresco_tpu.propagate.histogram import histogram_blend
@@ -138,9 +139,8 @@ def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng,
         for d in range(2):
             frames, flows = frames_pair[d], flows_pair[d]
             bwd_flow, bwd_occ = flows[j - 1]
-            temporal = inpaint_occluded(
-                warp_nearest(prev_stylized[d], bwd_flow).astype(np.uint8),
-                bwd_occ, method=inpaint_method,
+            temporal = temporal_guide(
+                prev_stylized[d], bwd_flow, bwd_occ, method=inpaint_method
             )
             tgt_stacks.append(
                 np.concatenate(

@@ -33,12 +33,21 @@ class GlobalState:
     def get_pipeline(self, config: FrescoConfig, tiny: bool = False):
         from fresco_tpu.pipeline.runner import FrescoPipeline
 
+        # model-affecting fields force a rebuild (webUI.py:168-200
+        # hot-swap); everything else is adopted in place via set_config
+        # so sampler-level controls (steps, strength, toggles) take
+        # effect without reloading weights
+        old = self.config
         rebuild = (
             self.pipeline is None
             or self.sd_path != config.sd_path
             or self.controlnet_type != config.controlnet_type
             or self.lora_path != config.lora_path
             or self.lora_scale != config.lora_scale
+            or old is None
+            or old.use_freeu != config.use_freeu
+            or old.use_saliency != config.use_saliency
+            or old.dtype != config.dtype
         )
         if rebuild:
             self.pipeline = FrescoPipeline(config, tiny=tiny)
@@ -47,7 +56,7 @@ class GlobalState:
             self.lora_path = config.lora_path
             self.lora_scale = config.lora_scale
         else:
-            self.pipeline.config = config
+            self.pipeline.set_config(config)
         self.config = config
         return self.pipeline
 
@@ -83,8 +92,15 @@ def ui_to_config(
         use_controlnet=bool(use_controlnet),
         use_fresco_attn=bool(use_cfattn or use_intraattn or use_interattn),
         use_cfattn=bool(use_cfattn),
-        num_intraattn_steps=1 if use_intraattn else 0,
-        step_interattn_end=350 if use_interattn else 1001,
+        num_intraattn_steps=(
+            FrescoConfig.num_intraattn_steps if use_intraattn else 0
+        ),
+        # > max timestep 1000 = never fires; the enabled value comes from
+        # the typed config default (CLAUDE.md: no re-hardcoded reference
+        # magic numbers)
+        step_interattn_end=(
+            FrescoConfig.step_interattn_end if use_interattn else 1001
+        ),
         use_fresco_opt=bool(use_optflow),
         use_saliency=bool(use_saliency),
         use_freeu=bool(use_freeu),

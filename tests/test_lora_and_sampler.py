@@ -134,3 +134,53 @@ def test_sampler_record_restore_roundtrip(rng):
         np.asarray(record2[:, 0]), np.asarray(record[:, 0]), atol=1e-5
     )
     assert np.all(np.isfinite(np.asarray(latents2)))
+
+
+def test_sampler_negative_warmup_pure_noise(rng):
+    """x0_strength > 1 gives num_warmup_steps < 0: the reference then
+    IGNORES the input frames (pure Gaussian init) and runs the full step
+    schedule (pipe_FRESCO.py:155-157)."""
+    from fresco_tpu.diffusion.sampler import (
+        FrescoSampler, FrescoState, SamplerConfig,
+    )
+    from fresco_tpu.diffusion.scheduler import DDPMScheduler
+    from fresco_tpu.models.controlnet import ControlNet
+    from fresco_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    ucfg = UNetConfig.tiny()
+    unet = UNet2DCondition(ucfg, dtype=jnp.float32)
+    vae = AutoencoderKL(VAEConfig.tiny(), dtype=jnp.float32)
+    cnet = ControlNet(ucfg, dtype=jnp.float32, cond_embed_channels=(4, 4, 8, 8))
+    sched = DDPMScheduler(num_inference_steps=4)
+    sampler = FrescoSampler(unet, vae, cnet, sched)
+
+    f, H, W = 2, 32, 32
+    key = jax.random.key(0)
+    frames_a = jnp.asarray(rng.uniform(-1, 1, (f, H, W, 3)), jnp.float32)
+    frames_b = -frames_a  # very different content
+    embeds = jnp.asarray(
+        rng.standard_normal((2 * f, 7, ucfg.cross_attention_dim)), jnp.float32
+    )
+    params = {
+        "unet": unet.init(key, jnp.zeros((1, 4, 4, 4)), jnp.int32(0), embeds[:1]),
+        "vae": vae.init(key, jnp.zeros((1, 32, 32, 3))),
+        "controlnet": cnet.init(
+            key, jnp.zeros((1, 4, 4, 4)), jnp.int32(0), embeds[:1],
+            jnp.zeros((1, 32, 32, 3)),
+        ),
+    }
+    cfg = SamplerConfig(
+        num_inference_steps=4, num_warmup_steps=-1, use_controlnet=False,
+        bg_smoothing_steps=(), do_opt=False,
+    )
+    cond = jnp.full((4,), 0.7)
+    out_a, rec = sampler.sample(
+        params, frames_a, embeds, None, cond, FrescoState(), None, key, cfg
+    )
+    out_b, _ = sampler.sample(
+        params, frames_b, embeds, None, cond, FrescoState(), None, key, cfg
+    )
+    # all 4 steps ran (record covers the full schedule), input ignored
+    assert rec.shape[0] == 4
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(out_a)))

@@ -208,3 +208,17 @@ def test_video_blend_cli_propagation_knobs(monkeypatch):
 
     video_blend.main(["clip", "--key_ind", "0", "7"])
     assert seen["patch_cfg"] == PatchMatchConfig()
+
+
+def test_warp_nearest_bool_mask():
+    """Bool masks ride a float round-trip (the reference warp supports
+    2-D masks the same way; cv2.remap rejects bool arrays directly)."""
+    from fresco_tpu.propagate.guides import warp_nearest
+
+    mask = np.zeros((8, 8), bool)
+    mask[2:4, 3:5] = True
+    flow = np.zeros((8, 8, 2), np.float32)
+    flow[..., 0] = -1.0  # content shifts right by 1
+    out = warp_nearest(mask, flow)
+    assert out.dtype == np.bool_
+    assert out[2, 4] and out[3, 5] and not out[2, 3]

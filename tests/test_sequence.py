@@ -18,12 +18,16 @@ def test_layout_and_sequences(tmp_path):
         assert os.path.isdir(tmp_path / "tmp" / f"out_{k}")
     assert os.path.isdir(vs.blending_dir)
 
+    # reference-exact ids (video_sequence.py:63-75): forward beg..end-1,
+    # backward end..beg+1 — NOT the forward list reversed
     fwd = vs.get_input_sequence(0)
     assert [os.path.basename(p) for p in fwd] == [
-        "%04d.png" % i for i in range(6)
+        "%04d.png" % i for i in range(5)
     ]
     bwd = vs.get_input_sequence(0, is_forward=False)
-    assert bwd == fwd[::-1]
+    assert [os.path.basename(p) for p in bwd] == [
+        "%04d.png" % i for i in (5, 4, 3, 2, 1)
+    ]
 
     # forward outputs land in out_<beg>, backward in out_<end>
     assert vs.get_output_sequence(0)[0].startswith(str(tmp_path / "out_0"))
@@ -31,11 +35,11 @@ def test_layout_and_sequences(tmp_path):
         str(tmp_path / "out_5")
     )
 
-    # flows: forward ids beg..end-1, backward end..beg+1
+    # flows: one per consecutive pair (video_sequence.py:138-152)
     ff = [os.path.basename(p) for p in vs.get_flow_sequence(0)]
-    assert ff == ["flow_f_%04d.npy" % i for i in range(5)]
+    assert ff == ["flow_f_%04d.npy" % i for i in range(4)]
     fb = [os.path.basename(p) for p in vs.get_flow_sequence(0, False)]
-    assert fb == ["flow_b_%04d.npy" % i for i in range(5, 0, -1)]
+    assert fb == ["flow_b_%04d.npy" % i for i in (5, 4, 3, 2)]
 
     assert os.path.basename(vs.get_key_img(1)) == "0005.png"
     assert os.path.basename(vs.get_temporal_sequence(1)[0]) == "temporal_0005.png"

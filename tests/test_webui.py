@@ -43,6 +43,11 @@ def test_global_state_rebuild_policy():
     class FakePipe:
         def __init__(self, config, tiny=False):
             self.config = config
+            self.sampler_cfg_rebuilt = 0
+
+        def set_config(self, config):
+            self.config = config
+            self.sampler_cfg_rebuilt += 1
 
     import fresco_tpu.webui as w
 
@@ -55,8 +60,25 @@ def test_global_state_rebuild_policy():
         p1 = gs.get_pipeline(cfg)
         p2 = gs.get_pipeline(cfg.replace(prompt="other"))
         assert p1 is p2  # same models -> reuse (webUI hot-swap semantics)
+        # sampler-level controls must be adopted via set_config, NOT
+        # just a config attribute swap (a stale _base_sampler_cfg made
+        # steps/strength/toggle changes silently no-ops)
+        assert p2.sampler_cfg_rebuilt == 1
+        p2b = gs.get_pipeline(cfg.replace(num_inference_steps=30))
+        assert p2b is p1 and p2b.config.num_inference_steps == 30
+        assert p2b.sampler_cfg_rebuilt == 2
+        # model-affecting toggles force a rebuild
+        p2c = gs.get_pipeline(cfg.replace(use_freeu=True))
+        assert p2c is not p1
         p3 = gs.get_pipeline(cfg.replace(sd_path="stablediffusionapi/rev-animated"))
         assert p3 is not p1  # base swap -> rebuild (webUI.py:168-200)
     finally:
         if orig is not None:
             runner.FrescoPipeline = orig
+
+
+def test_x0_strength_above_one_gives_negative_warmup():
+    """Slider max 1.05 (reference semantics: pure-noise init, all steps);
+    the sampler consumes the negative warmup as pipe_FRESCO.py:155-157."""
+    cfg = ui_to_config(*_base_args(x0_strength=1.05, num_inference_steps=20))
+    assert cfg.num_warmup_steps < 0
