@@ -267,4 +267,11 @@ def naive_attention(q, k, v, key_mask=None, *, scale=None):
     if key_mask is not None:
         s = jnp.where(key_mask[:, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
+    if key_mask is not None:
+        # fully-masked rows: softmax over all-NEG_INF logits gives
+        # uniform weights (mean of v) — the Pallas kernel outputs exact
+        # ZEROS there (l == 0 guard); match it so CPU goldens, the
+        # custom-VJP backward, and the kernel agree
+        any_valid = jnp.any(key_mask, axis=-1)[:, None, None, None]
+        p = jnp.where(any_valid, p, 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(acc_t)).astype(q.dtype)

@@ -75,20 +75,6 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
-def _sdpa(q, k, v, mask=None, scale=None):
-    """Small dense SDPA (used for the tiny F×F trajectory attention and
-    the per-frame spatial-guided redistribution)."""
-    d = q.shape[-1]
-    if scale is None:
-        scale = d ** -0.5
-    sd = jnp.promote_types(q.dtype, jnp.float32)  # f64 stays f64 (smoke mode)
-    s = jnp.einsum("...qd,...kd->...qk", q, k).astype(sd) * scale
-    if mask is not None:
-        s = jnp.where(mask, s, -1e30)
-    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-    return jnp.einsum("...qk,...kd->...qd", p, v)
-
-
 def cross_frame_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -121,10 +107,11 @@ def cross_frame_attention(
         kk = jnp.take(kk, perm, axis=1)
         vv = jnp.take(vv, perm, axis=1)
     elif key_mask is None:
-        mask = jnp.zeros((f, hw), dtype=bool).at[0].set(True).reshape(-1)
+        # maskless mode = attend only frame 0 (diffusion_hacked.py:
+        # 236-237,243-244): the first hw keys, all valid
         kk = kk[:, :hw]
         vv = vv[:, :hw]
-        mask = mask[:hw]
+        mask = jnp.ones((hw,), dtype=bool)
     else:
         mask = key_mask.reshape(-1)
     mask_b = jnp.broadcast_to(mask[None], (chunk, mask.shape[0]))
@@ -241,14 +228,17 @@ def fresco_self_attention(
     hw = x.shape[1]
     q_raw, k_raw = q, k
 
-    # 2. spatial-guided query redistribution (gated per step)
+    # 2. spatial-guided query redistribution (gated per step).  The
+    # ref projections live INSIDE the cond: with the reference default
+    # num_intraattn_steps=1 the gate is false on 19/20 steps, and
+    # hoisted wq(ref)/wk(ref) matmuls would run on every one of them.
     if fresco.ref_features is not None:
         ref = fresco.ref_features[layer_index]
-        ref_q = wq(ref)
-        ref_k = wk(ref)
         q = jax.lax.cond(
             fresco.use_intra,
-            lambda a: spatial_guided_query(a, ref_q, ref_k, heads, fresco.intra_scale),
+            lambda a: spatial_guided_query(
+                a, wq(ref), wk(ref), heads, fresco.intra_scale
+            ),
             lambda a: a,
             q,
         )

@@ -33,7 +33,6 @@ def calc_mean_std(feat: jnp.ndarray, eps: float = 1e-5, chunk: int = 1):
 def adain(
     content: jnp.ndarray,
     style: jnp.ndarray,
-    chunk: int = 1,
     style_eps: float = 1e-5,
 ) -> jnp.ndarray:
     """Re-normalize ``content`` to ``style``'s instance statistics.
@@ -48,8 +47,9 @@ def adain(
     style std is computed as sqrt(var + chunk).  With the default chunk=1
     (the only call site, diffusion_hacked.py:488) the style statistics
     use eps=1.0 while content statistics use eps=1e-5.  Pass
-    ``style_eps=float(chunk)`` to match; style chunking itself is never
-    actually exercised by the reference.
+    ``style_eps=1.0`` to match (guidance.py does); style chunking itself
+    is never exercised by the reference, so there is no chunk parameter
+    here — use calc_mean_std(chunk=...) directly if ever needed.
     """
     style_mean, style_std = calc_mean_std(style, eps=style_eps)
     content_mean, content_std = calc_mean_std(content)

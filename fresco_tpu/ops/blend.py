@@ -23,12 +23,19 @@ from fresco_tpu.ops.resize import resize_bilinear, max_pool2d
 from fresco_tpu.ops.morphology import dilate
 
 
-def prepare_flow_for_scale(flow, occ, target_hw, *, dilate_full_res: bool = True):
+# Reference flow_utils.py:28-33: Dilate(kernel_size=13) on the
+# full-resolution occlusion.  Module constant rather than a per-call
+# magic number (CLAUDE.md convention); override via the parameter.
+FULL_RES_OCC_DILATE = 13
+
+
+def prepare_flow_for_scale(flow, occ, target_hw, *, dilate_full_res: bool = True,
+                           dilate_kernel: int = FULL_RES_OCC_DILATE):
     """Rescale a full-res flow/occlusion pair to a feature resolution.
 
     flow: [N,H,W,2] -> [N,h,w,2] (values scaled); occ: [N,H,W] -> [N,h,w,1]
     via max-pool (occlusion is sticky).  At scale 1 the occlusion gets a
-    13×13 dilation instead (flow_utils.py:28-33).
+    ``dilate_kernel`` dilation instead (flow_utils.py:28-33).
     """
     H = flow.shape[1]
     h, w = target_hw
@@ -36,7 +43,7 @@ def prepare_flow_for_scale(flow, occ, target_hw, *, dilate_full_res: bool = True
     if scale == 1.0:
         occ_s = occ[..., None]
         if dilate_full_res:
-            occ_s = dilate(occ_s, 13)
+            occ_s = dilate(occ_s, dilate_kernel)
         return flow, occ_s
     kernel = int(round(1.0 / scale))
     flow_s = resize_bilinear(flow * scale, (h, w))

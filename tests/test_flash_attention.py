@@ -54,6 +54,16 @@ def test_flash_all_masked_is_zero(rng):
         )
     )
     assert np.all(np.isfinite(out))
+    # the kernel's l==0 guard outputs exact zeros for fully-masked rows;
+    # naive_attention must match (it used to return mean(v) there, which
+    # diverged CPU goldens and the custom-VJP backward from the kernel)
+    assert np.all(out == 0.0)
+    out_naive = np.asarray(
+        naive_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask)
+        )
+    )
+    assert np.all(out_naive == 0.0)
 
 
 def test_flash_bf16(rng):

@@ -164,8 +164,9 @@ def test_spatial_guided_matches_reference(setup, rng):
 
     # my side: spatial-guided + plain self-attention (no cf): emulate the
     # reference's "intra without cf" by a full self-mask per frame
+    from fresco_tpu.attention.flash import naive_attention
     from fresco_tpu.attention.fresco_attention import (
-        spatial_guided_query, _split_heads, _merge_heads, _sdpa,
+        spatial_guided_query, _split_heads, _merge_heads,
     )
 
     q = mine["wq"](jnp.asarray(x))
@@ -174,7 +175,9 @@ def test_spatial_guided_matches_reference(setup, rng):
     rq = mine["wq"](jnp.asarray(ref_feat))
     rk = mine["wk"](jnp.asarray(ref_feat))
     q2 = spatial_guided_query(q, rq, rk, heads, 0.2)
-    out = _sdpa(_split_heads(q2, heads), _split_heads(k, heads), _split_heads(v, heads))
+    out = naive_attention(
+        _split_heads(q2, heads), _split_heads(k, heads), _split_heads(v, heads)
+    )
     out = np.asarray(mine["wo"](_merge_heads(out)))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
 
