@@ -164,6 +164,113 @@ def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng,
     return (outs[0], errs[0]), (outs[1], errs[1])
 
 
+def _synthesize_chain_wave(wave, cfg, rng, devices, inpaint_method="pushpull"):
+    """Advance ALL chains of a wave of intervals in lockstep, one chain
+    per device — the TPU-native equivalent of the reference's 8-process
+    worker fan-out over intervals (reference video_blend.py:114-139,
+    MAX_PROCESS=8 :25).
+
+    ``wave``: list of (seq_i, key_imgs(2), frames_pair(2), flows_pair(2))
+    exactly as `_synthesize_chain_pair` takes per interval.  Each
+    interval contributes two jobs (forward + backward chain); every
+    pyramid level of every step runs as ONE shard_map program over a
+    ``jobs`` mesh, with per-job rng streams identical to the serial
+    path so outputs match `_synthesize_chain_pair` bit-for-bit (chains
+    are independent: zero collectives — tests/test_parallel_propagation).
+
+    Shorter intervals that finish early re-feed their last target (the
+    discarded output keeps shapes static); the scheduler in blend_video
+    groups intervals of similar length per wave to bound that waste.
+
+    Returns {seq_i: ((fwd_out, fwd_err), (bwd_out, bwd_err))} with the
+    backward lists in chain order (caller reverses, as for the serial
+    path)."""
+    from fresco_tpu.propagate.parallel import jobs_mesh, synthesize_sharded
+
+    jobs = []
+    for seq_i, key_imgs, frames_pair, flows_pair in wave:
+        for d in range(2):
+            if len(frames_pair[d]) - 1 <= 1:
+                continue  # interval 1: nothing to synthesize
+            jobs.append(
+                dict(
+                    seq_i=seq_i, d=d, key=key_imgs[d],
+                    frames=frames_pair[d], flows=flows_pair[d],
+                    outs=[], errs=[],
+                )
+            )
+    results = {seq_i: [([], []), ([], [])] for seq_i, *_ in wave}
+    if not jobs:
+        return {k: tuple(v) for k, v in results.items()}
+    mesh = jobs_mesh(len(jobs), devices)
+    h, w = jobs[0]["frames"][0].shape[:2]
+
+    for job in jobs:
+        pg = positional_chain(
+            h, w,
+            [f for f, _ in job["flows"]], [o for _, o in job["flows"]],
+            method=inpaint_method,
+        )
+        job["pos"] = pg
+        job["src_stack"] = np.concatenate(
+            [job["frames"][0], edge_guide(job["frames"][0]), job["key"],
+             pg[0]], axis=-1,
+        ).astype(np.float32)
+        job["prev"] = job["key"]
+    wpc = [
+        np.full(3, GUIDE_WEIGHTS["color"] / 3),
+        np.full(3, GUIDE_WEIGHTS["edge"] / 3),
+        np.full(3, GUIDE_WEIGHTS["temporal"] / 3),
+        np.full(3, GUIDE_WEIGHTS["positional"] / 3),
+    ]
+    weights = jnp.asarray(np.concatenate(wpc), jnp.float32)
+    styles = jnp.asarray(
+        np.stack([j["key"].astype(np.float32) for j in jobs])
+    )
+    src_guides = jnp.asarray(np.stack([j["src_stack"] for j in jobs]))
+
+    max_interval = max(len(j["frames"]) - 1 for j in jobs)
+    for step in range(1, max_interval):
+        tgt_stacks, keys = [], []
+        for job in jobs:
+            interval = len(job["frames"]) - 1
+            jj = min(step, interval - 1)  # finished chains re-feed last tgt
+            bwd_flow, bwd_occ = job["flows"][jj - 1]
+            temporal = temporal_guide(
+                job["prev"], bwd_flow, bwd_occ, method=inpaint_method
+            )
+            tgt_stacks.append(
+                np.concatenate(
+                    [job["frames"][jj], edge_guide(job["frames"][jj]),
+                     temporal, job["pos"][jj]], axis=-1,
+                ).astype(np.float32)
+            )
+            # identical stream to the serial path:
+            # fold_in(fold_in(fold_in(rng, seq_i), j), d)
+            keys.append(
+                jax.random.fold_in(
+                    jax.random.fold_in(
+                        jax.random.fold_in(rng, job["seq_i"]), jj
+                    ),
+                    job["d"],
+                )
+            )
+        out, err, _ = synthesize_sharded(
+            styles, src_guides, jnp.asarray(np.stack(tgt_stacks)), weights,
+            cfg, jnp.stack(keys), mesh=mesh,
+        )
+        out_np = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+        err_np = np.asarray(err)
+        for bi, job in enumerate(jobs):
+            if step < len(job["frames"]) - 1:
+                job["outs"].append(out_np[bi])
+                job["errs"].append(err_np[bi])
+                job["prev"] = out_np[bi]
+    for job in jobs:
+        results[job["seq_i"]][job["d"]] = (job["outs"], job["errs"])
+    return {k: tuple(v) for k, v in results.items()}
+
+
 def blend_video(
     base_dir: str,
     key_ind: list[int],
@@ -180,6 +287,7 @@ def blend_video(
     keep_tmp: bool = True,
     synth_backend: str = "tpu",
     inpaint_method: str = "pushpull",
+    n_devices: int | str = 1,
 ):
     """Reference video_blend.py main flow.  Reads base_dir/video/%04d.png
     and base_dir/<key_dir>/%04d.png, writes base_dir/blend/%04d.png and
@@ -193,7 +301,12 @@ def blend_video(
     hosts without a chip, mirroring the reference's CPU path).
     ``inpaint_method``: 'pushpull' (fast pyramid fill, default) or
     'telea' (reference guide.py:40,99-101 exact parity, ~450x slower
-    per guide)."""
+    per guide).
+    ``n_devices``: interval-parallel synthesis over a device mesh — the
+    reference's MAX_PROCESS=8 worker fan-out (video_blend.py:114-139)
+    as one SPMD wave per step (propagate/parallel.py).  1 = serial
+    (single-chip); 'auto' = all local devices.  Outputs are identical
+    either way (per-job rng streams match the serial path)."""
     video_dir = os.path.join(base_dir, "video")
     blend_dir = os.path.join(base_dir, "blend")
     tmp_dir = os.path.join(base_dir, "tmp")
@@ -218,68 +331,102 @@ def blend_video(
 
     fcache = _FlowCache(flow_fn, {}, tmp_dir)
     rng = jax.random.key(seed)
+    n_seq = len(key_ind) - 1
+    if n_devices == "auto":
+        n_devices = len(jax.local_devices())
+    n_devices = max(int(n_devices), 1)
 
-    def synth_interval(seq_i):
-        """Synthesize both chains of one interval (device-heavy half).
-
-        Returns (fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows)."""
+    def interval_inputs(seq_i):
+        """(key_imgs, frames_pair, flows_pair, cache_path) for interval
+        seq_i; computes/loads the pair flows (disk-cached)."""
         beg, end = key_ind[seq_i], key_ind[seq_i + 1]
         interval = end - beg
         seq_frames = [frames[i] for i in range(beg, end + 1)]
         rev_frames = seq_frames[::-1]
-
         synth_cache = os.path.join(tmp_dir, f"synth_{beg}_{end}.npz")
         fwd_flows = [
             fcache.get(seq_frames, j, tag=f"f{beg}_{j}")
             for j in range(max(interval - 1, 0))
         ]
+        bwd_flows = None
+        if not (reuse_synthesis and os.path.exists(synth_cache)):
+            bwd_flows = [
+                fcache.get(rev_frames, j, tag=f"b{end}_{j}")
+                for j in range(max(interval - 1, 0))
+            ]
+        return (
+            (keys[key_ind[seq_i]], keys[key_ind[seq_i + 1]]),
+            (seq_frames, rev_frames),
+            (fwd_flows, bwd_flows),
+            synth_cache,
+        )
+
+    def save_synth(cache_path, fwd_out, fwd_err, bwd_out, bwd_err):
+        if keep_tmp and fwd_out:
+            np.savez(
+                cache_path,
+                fwd_out=np.stack(fwd_out), fwd_err=np.stack(fwd_err),
+                bwd_out=np.stack(bwd_out), bwd_err=np.stack(bwd_err),
+            )
+
+    def synth_interval(seq_i):
+        """Synthesize both chains of one interval (device-heavy half).
+
+        Returns (fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows)."""
+        key_imgs, frames_pair, flows_pair, synth_cache = interval_inputs(seq_i)
+        fwd_flows = flows_pair[0]
         if reuse_synthesis and os.path.exists(synth_cache):
             z = np.load(synth_cache)
             return (list(z["fwd_out"]), list(z["fwd_err"]),
                     list(z["bwd_out"]), list(z["bwd_err"]), fwd_flows)
-        bwd_flows = [
-            fcache.get(rev_frames, j, tag=f"b{end}_{j}")
-            for j in range(max(interval - 1, 0))
-        ]
 
         # both directions advance in lockstep as one device batch
         (fwd_out, fwd_err), (bwd_out, bwd_err) = _synthesize_chain_pair(
-            (keys[beg], keys[end]),
-            (seq_frames, rev_frames),
-            (fwd_flows, bwd_flows),
-            patch_cfg,
+            key_imgs, frames_pair, flows_pair, patch_cfg,
             jax.random.fold_in(rng, seq_i),
             backend=synth_backend,
             inpaint_method=inpaint_method,
         )
         bwd_out, bwd_err = bwd_out[::-1], bwd_err[::-1]
-        if keep_tmp and fwd_out:
-            np.savez(
-                synth_cache,
-                fwd_out=np.stack(fwd_out), fwd_err=np.stack(fwd_err),
-                bwd_out=np.stack(bwd_out), bwd_err=np.stack(bwd_err),
-            )
+        save_synth(synth_cache, fwd_out, fwd_err, bwd_out, bwd_err)
         return fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows
 
-    # Interval concurrency (VERDICT r2 item 8; replaces the reference's
-    # 8-process fan-out, video_blend.py:114-139): intervals are
-    # independent, so a depth-1 prefetch thread runs interval k+1's
-    # device synthesis while the host blends interval k (histogram +
-    # Poisson are CPU work that would otherwise leave the chip idle).
-    from concurrent.futures import ThreadPoolExecutor
+    def synth_wave(wave_idx):
+        """Synthesize a wave of intervals concurrently over the mesh.
 
-    executor = ThreadPoolExecutor(max_workers=1)
-    n_seq = len(key_ind) - 1
-    t0 = time.time()
-    nxt = executor.submit(synth_interval, 0) if n_seq else None
-    for seq_i in range(n_seq):
+        Returns {seq_i: (fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows)}
+        in the same per-interval format as synth_interval."""
+        results, wave, meta = {}, [], {}
+        for seq_i in wave_idx:
+            key_imgs, frames_pair, flows_pair, synth_cache = (
+                interval_inputs(seq_i)
+            )
+            if reuse_synthesis and os.path.exists(synth_cache):
+                z = np.load(synth_cache)
+                results[seq_i] = (
+                    list(z["fwd_out"]), list(z["fwd_err"]),
+                    list(z["bwd_out"]), list(z["bwd_err"]), flows_pair[0],
+                )
+                continue
+            wave.append((seq_i, key_imgs, frames_pair, flows_pair))
+            meta[seq_i] = (flows_pair[0], synth_cache)
+        if wave:
+            wave_out = _synthesize_chain_wave(
+                wave, patch_cfg, rng, jax.local_devices()[:n_devices],
+                inpaint_method=inpaint_method,
+            )
+            for seq_i, ((fo, fe), (bo, be)) in wave_out.items():
+                bo, be = bo[::-1], be[::-1]
+                fwd_flows, synth_cache = meta[seq_i]
+                save_synth(synth_cache, fo, fe, bo, be)
+                results[seq_i] = (fo, fe, bo, be, fwd_flows)
+        return results
+
+    def blend_interval(seq_i, fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows):
+        """Per-frame candidate selection + blending (reference
+        video_blend.py:212-255) for one interval."""
         beg, end = key_ind[seq_i], key_ind[seq_i + 1]
         interval = end - beg
-        fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows = nxt.result()
-        if seq_i + 1 < n_seq:
-            nxt = executor.submit(synth_interval, seq_i + 1)
-
-        # --- per-frame blending (video_blend.py:212-255) -----------------
         cv2.imwrite(os.path.join(blend_dir, "%04d.png" % beg), keys[beg])
         p_mask = None
         for i in range(interval - 1):
@@ -309,6 +456,40 @@ def blend_video(
                       + weight1 * ob.astype(np.float32)).astype(np.uint8)
             res = poisson_fusion(hb, oa, ob, mask) if poisson else hb
             cv2.imwrite(os.path.join(blend_dir, "%04d.png" % c_id), res)
+
+    # Interval concurrency (replaces the reference's 8-process fan-out,
+    # video_blend.py:114-139): intervals are independent.  With one
+    # device, a depth-1 prefetch thread runs interval k+1's device
+    # synthesis while the host blends interval k.  With a mesh, WAVES of
+    # up to n_devices//2 intervals (2 chains each) run concurrently —
+    # one chain per device, zero collectives — and the prefetch thread
+    # overlaps wave k+1's synthesis with wave k's host blending.
+    from concurrent.futures import ThreadPoolExecutor
+
+    executor = ThreadPoolExecutor(max_workers=1)
+    t0 = time.time()
+    if n_devices > 1 and synth_backend == "tpu" and n_seq > 0:
+        per_wave = max(n_devices // 2, 1)
+        # group intervals of similar length per wave: finished chains
+        # idle their device until the wave's longest chain completes
+        order = sorted(
+            range(n_seq), key=lambda i: key_ind[i + 1] - key_ind[i]
+        )
+        waves = [order[i:i + per_wave] for i in range(0, n_seq, per_wave)]
+        nxt = executor.submit(synth_wave, waves[0])
+        for wi, wave_idx in enumerate(waves):
+            results = nxt.result()
+            if wi + 1 < len(waves):
+                nxt = executor.submit(synth_wave, waves[wi + 1])
+            for seq_i in sorted(wave_idx):
+                blend_interval(seq_i, *results[seq_i])
+    elif n_seq > 0:
+        nxt = executor.submit(synth_interval, 0)
+        for seq_i in range(n_seq):
+            res = nxt.result()
+            if seq_i + 1 < n_seq:
+                nxt = executor.submit(synth_interval, seq_i + 1)
+            blend_interval(seq_i, *res)
     executor.shutdown(wait=False)
     cv2.imwrite(
         os.path.join(blend_dir, "%04d.png" % key_ind[-1]), keys[key_ind[-1]]
@@ -392,6 +573,10 @@ def main(argv=None):
     p.add_argument("--key_ind", type=int, nargs="+", required=True)
     p.add_argument("--key", type=str, default="keys")
     p.add_argument("--n_proc", type=int, default=8)
+    p.add_argument("--n_devices", type=str, default="1",
+                   help="interval-parallel synthesis over this many "
+                        "devices ('auto' = all local devices; the "
+                        "reference's max_process fan-out, TPU-native)")
     p.add_argument("-ps", action="store_true")
     p.add_argument("-ne", action="store_true",
                    help="reuse previous synthesis outputs (resume)")
@@ -411,6 +596,7 @@ def main(argv=None):
         a.name, a.key_ind, a.key, a.output, a.fps, a.n_proc, poisson=a.ps,
         reuse_synthesis=a.ne, keep_tmp=True, synth_backend=a.backend,
         inpaint_method=a.inpaint, patch_cfg=PatchMatchConfig(**pm_kw),
+        n_devices=a.n_devices if a.n_devices == "auto" else int(a.n_devices),
     )
 
 
