@@ -38,6 +38,9 @@ class FrescoConfig:
     controlnet_type: str = "hed"  # 'hed' | 'depth' | 'canny'
     controlnet_path: str | None = None  # default: lllyasviel/sd-controlnet-<type>
     cond_scale: float = 0.7
+    # canny thresholds (reference run_fresco.py:106 / webUI.py:469-478)
+    canny_low: int = 50
+    canny_high: int = 100
     use_freeu: bool = False
     freeu_b1: float = 1.2
     freeu_b2: float = 1.5
@@ -57,6 +60,11 @@ class FrescoConfig:
     end_opt_step: int = 15
     run_ebsynth: bool = False
     max_process: int = 4
+    # propagation gradient blending toggle (reference webUI.py:566-571)
+    use_poisson: bool = True
+    # cap on input frames read (reference webUI.py frame_count slider;
+    # None/0 = all frames)
+    frame_count: int | None = None
 
     # --- supporting models (converted-checkpoint paths; see models/convert.py) ---
     gmflow_path: str = "./model/gmflow_sintel-0c07dcb3.pth"

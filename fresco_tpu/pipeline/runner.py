@@ -15,6 +15,7 @@ useful for smoke runs and benchmarking.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 from typing import Any, Callable
@@ -64,9 +65,10 @@ class ModelBundle:
     flow_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] | None = None
 
 
-def _canny_detector(img: np.ndarray) -> np.ndarray:
-    """Canny edges (reference annotator/canny, thresholds run_fresco.py:106)."""
-    return cv2.Canny(img, 50, 100)
+def _canny_detector(img: np.ndarray, low: int = 50, high: int = 100) -> np.ndarray:
+    """Canny edges (reference annotator/canny, thresholds run_fresco.py:106;
+    webUI.py:469-478 exposes them as sliders)."""
+    return cv2.Canny(img, low, high)
 
 
 def build_models(
@@ -195,7 +197,9 @@ def _build_detector(config: FrescoConfig, tiny: bool):
             params = {"params": convert_openpose(C.load_torch_state_dict(pose_path))}
             return lambda img: openpose_detector(model, params, img)
         print("[fresco_tpu] OpenPose weights not found; falling back to canny")
-    return _canny_detector
+    return functools.partial(
+        _canny_detector, low=config.canny_low, high=config.canny_high
+    )
 
 
 def _build_saliency(config: FrescoConfig):
@@ -379,6 +383,8 @@ class FrescoPipeline:
         cfg = self.config
         cap = cv2.VideoCapture(cfg.file_path)
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if cfg.frame_count:  # webUI.py frame_count slider; None/0 = all
+            n = min(n, int(cfg.frame_count))
         frames = []
         for _ in range(n):
             ok, f = cap.read()

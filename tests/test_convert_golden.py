@@ -33,6 +33,25 @@ UCFG = UNetConfig.tiny()       # blocks (8,16), 1 layer, ctx 16, heads 2, g 4
 VCFG = VAEConfig.tiny()        # blocks (8,8,16,16), 1 layer, g 4
 COND_EMBED = (4, 4, 8, 8)
 
+# Full SD1.5 topology at reduced width (VERDICT r3 missing #5): the REAL
+# key patterns — 4 down blocks with the last attention-free
+# (CrossAttnDownBlock2D x3 + DownBlock2D), layers_per_block=2, the
+# repeated last width (320,640,1280,1280 -> 8,16,32,32) and its up-block
+# skip-channel schedule, 77-token context — so the first real-checkpoint
+# load (reference run_fresco.py:59-89) exercises no unseen pattern.
+FULL_UCFG = UNetConfig(
+    block_out_channels=(8, 16, 32, 32),
+    layers_per_block=2,
+    cross_attention_dim=24,
+    attention_heads=2,
+    norm_groups=4,
+    fresco_up_blocks=(2, 3),
+)
+FULL_VCFG = VAEConfig(
+    block_out_channels=(8, 16, 32, 32), layers_per_block=2, norm_groups=4
+)
+FULL_COND_EMBED = (4, 8, 16, 32)   # real (16,32,96,256) shape-pattern
+
 
 def t_timestep_embedding(t, dim):
     """diffusers get_timestep_embedding (flip_sin_to_cos=True, shift=0)."""
@@ -493,23 +512,29 @@ def _torch_seed():
     torch.manual_seed(0)
 
 
-def test_convert_unet_full_forward_parity():
-    tm = TUNet(UCFG).eval()
+@pytest.mark.parametrize(
+    "cfg,tokens", [(UCFG, 7), (FULL_UCFG, 77)], ids=["tiny", "full-topo"]
+)
+def test_convert_unet_full_forward_parity(cfg, tokens):
+    tm = TUNet(cfg).eval()
     sd = {k: v for k, v in tm.state_dict().items()}
-    params = {"params": convert_unet(sd, UCFG, strict=True)}
+    # strict=True + shape-tree equality with init = bijection: every
+    # torch key consumed AND every flax param filled at the init shape
+    params = {"params": convert_unet(sd, cfg, strict=True)}
 
-    unet = UNet2DCondition(UCFG, dtype=jnp.float32)
+    res = 8 * 2 ** (len(cfg.block_out_channels) - 2)
+    unet = UNet2DCondition(cfg, dtype=jnp.float32)
     # structure/shape agreement with init
     ref = unet.init(
-        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.int32(0),
-        jnp.zeros((1, 7, UCFG.cross_attention_dim)),
+        jax.random.key(0), jnp.zeros((1, res, res, 4)), jnp.int32(0),
+        jnp.zeros((1, tokens, cfg.cross_attention_dim)),
     )
     conv_shapes = jax.tree_util.tree_map(jnp.shape, params)
     init_shapes = jax.tree_util.tree_map(jnp.shape, ref)
     assert conv_shapes == init_shapes
 
-    x = torch.randn(2, 4, 8, 8)
-    ctx = torch.randn(2, 7, UCFG.cross_attention_dim)
+    x = torch.randn(2, 4, res, res)
+    ctx = torch.randn(2, tokens, cfg.cross_attention_dim)
     t = torch.tensor([301, 301])
     with torch.no_grad():
         want = tm(x, t, ctx).numpy()
@@ -517,23 +542,30 @@ def test_convert_unet_full_forward_parity():
     np.testing.assert_allclose(_nchw_np(got), want, atol=2e-4, rtol=2e-4)
 
 
-def test_convert_controlnet_full_forward_parity():
-    tm = TControlNet(UCFG, COND_EMBED).eval()
+@pytest.mark.parametrize(
+    "cfg,cond_embed,tokens",
+    [(UCFG, COND_EMBED, 7), (FULL_UCFG, FULL_COND_EMBED, 77)],
+    ids=["tiny", "full-topo"],
+)
+def test_convert_controlnet_full_forward_parity(cfg, cond_embed, tokens):
+    tm = TControlNet(cfg, cond_embed).eval()
     sd = {k: v for k, v in tm.state_dict().items()}
-    params = {"params": convert_controlnet(sd, UCFG, strict=True)}
+    params = {"params": convert_controlnet(sd, cfg, strict=True)}
 
-    cnet = ControlNet(UCFG, dtype=jnp.float32, cond_embed_channels=COND_EMBED)
+    res = 8 * 2 ** (len(cfg.block_out_channels) - 2)
+    cnet = ControlNet(cfg, dtype=jnp.float32, cond_embed_channels=cond_embed)
     ref = cnet.init(
-        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.int32(0),
-        jnp.zeros((1, 7, UCFG.cross_attention_dim)), jnp.zeros((1, 64, 64, 3)),
+        jax.random.key(0), jnp.zeros((1, res, res, 4)), jnp.int32(0),
+        jnp.zeros((1, tokens, cfg.cross_attention_dim)),
+        jnp.zeros((1, 8 * res, 8 * res, 3)),
     )
     assert jax.tree_util.tree_map(jnp.shape, params) == jax.tree_util.tree_map(
         jnp.shape, ref
     )
 
-    x = torch.randn(2, 4, 8, 8)
-    ctx = torch.randn(2, 7, UCFG.cross_attention_dim)
-    cond = torch.rand(2, 3, 64, 64)
+    x = torch.randn(2, 4, res, res)
+    ctx = torch.randn(2, tokens, cfg.cross_attention_dim)
+    cond = torch.rand(2, 3, 8 * res, 8 * res)
     t = torch.tensor([123, 123])
     with torch.no_grad():
         want_down, want_mid = tm(x, t, ctx, cond, 0.7)
@@ -546,12 +578,15 @@ def test_convert_controlnet_full_forward_parity():
     np.testing.assert_allclose(_nchw_np(got_mid), want_mid.numpy(), atol=2e-4, rtol=2e-4)
 
 
-def test_convert_vae_full_forward_parity():
-    tm = TVAE(VCFG).eval()
+@pytest.mark.parametrize(
+    "vcfg", [VCFG, FULL_VCFG], ids=["tiny", "full-topo"]
+)
+def test_convert_vae_full_forward_parity(vcfg):
+    tm = TVAE(vcfg).eval()
     sd = {k: v for k, v in tm.state_dict().items()}
-    params = {"params": convert_vae(sd, VCFG, strict=True)}
+    params = {"params": convert_vae(sd, vcfg, strict=True)}
 
-    vae = AutoencoderKL(VCFG, dtype=jnp.float32)
+    vae = AutoencoderKL(vcfg, dtype=jnp.float32)
     ref = vae.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     assert jax.tree_util.tree_map(jnp.shape, params) == jax.tree_util.tree_map(
         jnp.shape, ref
@@ -572,6 +607,6 @@ def test_convert_vae_full_forward_parity():
     with torch.no_grad():
         want_img = tm.decoder(tm.post_quant_conv(z)).numpy()
     got_img = vae.apply(
-        params, jnp.asarray(_nhwc(z)) * VCFG.scaling_factor, method=vae.decode
+        params, jnp.asarray(_nhwc(z)) * vcfg.scaling_factor, method=vae.decode
     )
     np.testing.assert_allclose(_nchw_np(got_img), want_img, atol=2e-4, rtol=2e-4)

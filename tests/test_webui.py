@@ -82,3 +82,66 @@ def test_x0_strength_above_one_gives_negative_warmup():
     the sampler consumes the negative warmup as pipe_FRESCO.py:155-157."""
     cfg = ui_to_config(*_base_args(x0_strength=1.05, num_inference_steps=20))
     assert cfg.num_warmup_steps < 0
+
+
+def test_advanced_controls_map_to_config():
+    """Control-for-control parity with reference webUI.py:447-578 ips:
+    every advanced control reaches its typed-config field."""
+    cfg = ui_to_config(
+        *_base_args(),
+        guidance_scale=11.5, a_prompt="ap", n_prompt="np",
+        canny_low=10, canny_high=200,
+        freeu_b1=1.3, freeu_b2=1.4, freeu_s1=0.9, freeu_s2=0.2,
+        use_poisson=False, max_process=8, frame_count=120,
+    )
+    assert cfg.guidance_scale == 11.5
+    assert cfg.a_prompt == "ap" and cfg.n_prompt == "np"
+    assert (cfg.canny_low, cfg.canny_high) == (10, 200)
+    assert (cfg.freeu_b1, cfg.freeu_b2, cfg.freeu_s1, cfg.freeu_s2) == (
+        1.3, 1.4, 0.9, 0.2
+    )
+    assert cfg.use_poisson is False
+    assert cfg.max_process == 8
+    assert cfg.frame_count == 120
+
+
+def test_advanced_controls_defaults():
+    """Omitted advanced controls keep the typed-config defaults (the
+    reference's run_fresco.py values), incl. frame_count 0 -> None (all
+    frames) and FreeU factors untouched by the no-op slider value."""
+    from fresco_tpu.core.config import FrescoConfig
+
+    cfg = ui_to_config(*_base_args())
+    d = FrescoConfig()
+    assert cfg.guidance_scale == d.guidance_scale == 7.5
+    assert cfg.a_prompt is None and cfg.n_prompt is None
+    assert (cfg.canny_low, cfg.canny_high) == (50, 100)
+    assert cfg.freeu_b1 == d.freeu_b1 and cfg.freeu_s2 == d.freeu_s2
+    assert cfg.use_poisson is True
+    assert cfg.frame_count is None
+
+
+def test_example_inputs_roundtrip():
+    """The example gallery rows (reference webUI.py cfg_to_input) feed
+    ui_to_config positionally and reproduce the YAML config's values."""
+    import glob
+    import os
+
+    from fresco_tpu.webui import example_inputs
+
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "config")
+    paths = sorted(glob.glob(os.path.join(cfg_dir, "*.yaml")))
+    assert paths, "demo configs missing"
+    for p in paths:
+        row = example_inputs(p)
+        cfg = ui_to_config(*row)
+        from fresco_tpu.core.config import load_config
+
+        want = load_config(p)
+        assert cfg.prompt == want.prompt
+        assert cfg.sd_path == want.sd_path
+        assert cfg.controlnet_type == want.controlnet_type
+        assert cfg.num_inference_steps == want.num_inference_steps
+        assert cfg.num_warmup_steps == want.num_warmup_steps
+        assert cfg.batch_size == want.batch_size
+        assert (cfg.mininterv, cfg.maxinterv) == (want.mininterv, want.maxinterv)
