@@ -60,6 +60,16 @@ def _pick_tiles(hw: int, c: int, itemsize: int) -> tuple[int, int]:
             + bm * bn * 4                                # G f32 stack temp
         )
 
+    # Measured-best fast paths first (r4 A/B, scripts/bench_gram_kernel
+    # .py): at the dominant stage shape [16, 4096, 640] bf16, (512,
+    # 1024) runs 101.2 TF/s vs 91.1 for (512, 512); at c<=320 the
+    # (256, 1024) tiling edges out 512x512 (64.3 vs 63.1).  Wider row
+    # tiles at c=1280 EXCEED scoped VMEM (remote-compile failure), so
+    # only bf16 shapes with c<=768 take these.
+    if itemsize == 2 and hw % 1024 == 0:
+        bm = 256 if c <= 320 else 512
+        if vmem(bm, 1024) <= 10 * 2**20:
+            return bm, 1024
     # budget 7 MB: Mosaic's real allocation ran ~1.6x this model's
     # estimate (measured 16.12 MB vs 10 MB estimated at c=1280, 512x512
     # tiles), so the headroom keeps worst case near ~11 MB of the 16.

@@ -87,7 +87,7 @@ def _init_nnf_fn(jsh, lth, ltw, r, lsh, lsw):
 @functools.lru_cache(maxsize=None)
 def _sharded_level_fn(
     mesh, patch, pm_iters, sv_iters, uniformity, rand_candidates,
-    stop_threshold, seeded, tiers,
+    stop_threshold, seeded, tiers, table_u8=False,
 ):
     """Memoized jit(shard_map(level)) per (mesh, statics) — a fresh
     wrapper per call would miss jax's jit cache and recompile every
@@ -102,6 +102,7 @@ def _sharded_level_fn(
         stop_threshold=stop_threshold,
         seeded=seeded,
         compact_tiers=tiers,
+        table_u8=table_u8,
     )
     return jax.jit(
         jax.shard_map(
@@ -158,6 +159,7 @@ def synthesize_sharded(
         return _sharded_level_fn(
             mesh, patch, cfg.pm_iters, cfg.sv_iters, uniformity,
             cfg.rand_candidates, cfg.stop_threshold, seeded, tiers,
+            table_u8=cfg.table_dtype == "uint8",
         )
 
     def tiers_for(lth: int, ltw: int) -> tuple:

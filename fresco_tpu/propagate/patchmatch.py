@@ -63,6 +63,15 @@ class PatchMatchConfig:
     # −0.05 dB); 2 = additionally drop shift-4 + one more random scale
     # (quality measured in PERF.md).
     trim_seeded_levels: bool | int = True
+    # Gather-table storage dtype: "uint8" stores the pre-stacked patch
+    # table (style/guides, 0..255-natured) quantized to uint8 with the
+    # omega term as two fixed-point uint8 columns — HALVES the bytes of
+    # the per-candidate wide row-gather (which has a measured width
+    # cost: PERF.md round-3 gather table; VERDICT r3 #7).  At the 0..255
+    # range bf16 already rounds to ~1.0 spacing, so quantization error
+    # is comparable; PSNR impact measured in PERF.md round 4.
+    # "bfloat16" = exact r3 behavior.
+    table_dtype: str = "bfloat16"
     # Active-pixel compaction tiers for the stop-threshold freeze mask.
     # The candidate row-gather cost is per-ROW and width-independent
     # (scripts/bench_gather.py: ~26 ns/row), and the measured freeze
@@ -165,9 +174,17 @@ def _target_patches(tgt: jnp.ndarray, patch: int) -> jnp.ndarray:
 
 def _flat_patches(img: jnp.ndarray, patch: int, dtype=jnp.bfloat16) -> jnp.ndarray:
     """[H,W,C] -> [H*W, n_off*C] pre-stacked neighborhoods (the row-
-    gatherable layout _patch_error consumes)."""
+    gatherable layout _patch_error consumes).  dtype uint8 quantizes
+    with round-to-nearest in the [0, 255] style/guide domain — at that
+    range bf16's 8-bit mantissa already spaces values ~1.0 apart, so
+    uint8 rounding adds no meaningful error while HALVING the gather
+    table's row bytes (the row-gather has a width cost component:
+    PERF.md round-3 gather table; VERDICT r3 #7)."""
     h, w, c = img.shape
-    return _target_patches(img, patch).reshape(h * w, -1).astype(dtype)
+    p = _target_patches(img, patch).reshape(h * w, -1)
+    if dtype == jnp.uint8:
+        return jnp.round(jnp.clip(p, 0.0, 255.0)).astype(jnp.uint8)
+    return p.astype(dtype)
 
 
 def _omega(nnf_y, nnf_x, sh, sw, patch):
@@ -193,6 +210,7 @@ def _omega(nnf_y, nnf_x, sh, sw, patch):
     static_argnames=(
         "patch", "pm_iters", "sv_iters", "uniformity", "rand_candidates",
         "stop_threshold", "seeded", "debug_counts", "compact_tiers",
+        "table_u8",
     ),
 )
 def _synthesize_level(
@@ -213,6 +231,7 @@ def _synthesize_level(
     seeded: int = 0,
     debug_counts: bool = False,
     compact_tiers: tuple = (),
+    table_u8: bool = False,
 ):
     sh, sw = src_all.shape[:2]
     th, tw = tgt_guides.shape[:2]
@@ -220,8 +239,13 @@ def _synthesize_level(
     cs = style_src.shape[-1]
 
     # pre-stacked patch layouts (see _patch_error): source [style|guides]
-    # rows, target guide half fixed per level
-    src_patches = _flat_patches(src_all, patch)  # [sh*sw, n_off*(Cs+Cg)]
+    # rows, target guide half fixed per level.  table_u8 stores the
+    # gather table in uint8 (see _flat_patches) with the omega term as
+    # two fixed-point uint8 columns — same single wide row-gather,
+    # half the bytes.
+    src_patches = _flat_patches(
+        src_all, patch, jnp.uint8 if table_u8 else jnp.bfloat16
+    )  # [sh*sw, n_off*(Cs+Cg)]
     tgt_g_patches = _target_patches(tgt_guides, patch).astype(jnp.bfloat16)
     w_all = jnp.tile(
         jnp.concatenate([weights_s, weights_g]).astype(jnp.float32),
@@ -232,20 +256,55 @@ def _synthesize_level(
 
     omega_best = (th * tw) / (sh * sw) * (patch * patch)
 
+    def build_table(omega_map):
+        """Gather table = src_patches + scaled omega column(s): the
+        uniformity usage rides the same wide row-gather as the patch
+        SSD (a separate narrow usage gather measured 6 s of the 16 s
+        level — per-row gather cost again).  Returns (table, om_scale);
+        with table_u8 the omega term is 16-bit fixed point across two
+        uint8 columns (hi, lo) with a per-iteration max-normalized
+        scale (relative quantization error <= 1/65535)."""
+        omega_scaled = (uniformity / omega_best) * omega_map.reshape(-1)
+        if table_u8:
+            om_max = jnp.maximum(jnp.max(omega_scaled), 1e-20)
+            q = jnp.round(omega_scaled * (65535.0 / om_max))
+            hi = jnp.floor(q * (1.0 / 256.0))
+            lo = q - hi * 256.0
+            return (
+                jnp.concatenate(
+                    [src_patches, hi[:, None].astype(jnp.uint8),
+                     lo[:, None].astype(jnp.uint8)], axis=1,
+                ),
+                om_max * (1.0 / 65535.0),
+            )
+        return (
+            jnp.concatenate(
+                [src_patches,
+                 omega_scaled[:, None].astype(src_patches.dtype)], axis=1,
+            ),
+            None,
+        )
+
     def eval_cand(ny, nx, tgt_all_patches, table):
-        # ``table`` = src_patches with the SCALED omega term appended as a
-        # last column: the uniformity usage rides the same wide row-gather
-        # as the patch SSD (a separate narrow usage gather measured 6 s of
-        # the 16 s level — per-row gather cost again)
+        tbl, om_scale = table
         ny = jnp.clip(ny, r, sh - 1 - r)
         nx = jnp.clip(nx, r, sw - 1 - r)
         flat = ny * sw + nx
-        s = jnp.take(table, flat.reshape(-1), axis=0)
-        s = s.reshape(*ny.shape, table.shape[-1])
-        d = (s[..., :-1] - tgt_all_patches).astype(jnp.float32)
+        s = jnp.take(tbl, flat.reshape(-1), axis=0)
+        s = s.reshape(*ny.shape, tbl.shape[-1])
+        n_om = 2 if table_u8 else 1
+        d = (
+            s[..., :-n_om].astype(jnp.bfloat16) - tgt_all_patches
+        ).astype(jnp.float32)
         e = jnp.einsum("...c,c->...", d * d, w_all)
         if uniformity > 0:
-            e = e + s[..., -1].astype(jnp.float32)
+            if table_u8:
+                e = e + (
+                    s[..., -2].astype(jnp.float32) * 256.0
+                    + s[..., -1].astype(jnp.float32)
+                ) * om_scale
+            else:
+                e = e + s[..., -1].astype(jnp.float32)
         return ny, nx, e
 
     # style neighborhoods for the vote: out(p) = mean_i style[nnf(p+o_i)-o_i]
@@ -304,10 +363,7 @@ def _synthesize_level(
         ).reshape(th, tw, -1)
         # scaled uniformity term appended to the gather table (eval_cand)
         omega_map = _omega(nnf_[..., 0], nnf_[..., 1], sh, sw, patch)
-        omega_col = (
-            (uniformity / omega_best) * omega_map.reshape(sh * sw, 1)
-        ).astype(src_patches.dtype)
-        table = jnp.concatenate([src_patches, omega_col], axis=1)
+        table = build_table(omega_map)
 
         def consider(by, bx, be, cy, cx, tgt_p):
             ny, nx, e = eval_cand(cy, cx, tgt_p, table)
@@ -461,7 +517,11 @@ def _synthesize_level(
         n_active = jnp.sum(active.astype(jnp.int32))
         nnf_new = run_full
         for t in sorted(compact_tiers):
-            k_cap = -(-(th * tw) // t)  # ceil: tier t covers <= N/t active
+            # ceil: tier t covers <= N/t active.  Fractional tiers (e.g.
+            # 1.5) target the high-churn plateau where noise-like styles
+            # hold 41-67% active at the finest level (PERF.md content
+            # dependence) — integer tiers never fire there.
+            k_cap = int(-(-(th * tw) // t))
             inner, cap = nnf_new, k_cap
             nnf_new = (
                 lambda op, inner=inner, cap=cap: jax.lax.cond(
@@ -496,10 +556,7 @@ def _synthesize_level(
         [tgt_s_patches, tgt_g_patches], axis=-1
     ).reshape(th, tw, -1)
     omega_map = _omega(nnf[..., 0], nnf[..., 1], sh, sw, patch)
-    omega_col = (
-        (uniformity / omega_best) * omega_map.reshape(sh * sw, 1)
-    ).astype(src_patches.dtype)
-    table = jnp.concatenate([src_patches, omega_col], axis=1)
+    table = build_table(omega_map)
     _, _, err = eval_cand(nnf[..., 0], nnf[..., 1], tgt_all_patches, table)
     if debug_counts:
         return nnf, out, err, state[5]
@@ -578,6 +635,7 @@ def synthesize(
             # coarse levels' gathers are sub-ms: tiers only add compile
             compact_tiers=tuple(cfg.compact_tiers)
             if lth * ltw >= 16384 and cfg.stop_threshold > 0 else (),
+            table_u8=cfg.table_dtype == "uint8",
         )
         all_counts.extend(dbg)
     if cfg.extra_pass_3x3:
@@ -596,6 +654,7 @@ def synthesize(
             seeded=int(cfg.trim_seeded_levels),
             compact_tiers=tuple(cfg.compact_tiers)
             if th * tw >= 16384 and cfg.stop_threshold > 0 else (),
+            table_u8=cfg.table_dtype == "uint8",
         )
     if debug_counts:
         return out, err, nnf, all_counts
@@ -691,6 +750,7 @@ def synthesize_batch(
                 rand_candidates=cfg.rand_candidates,
                 stop_threshold=cfg.stop_threshold,
                 seeded=seeded,
+                table_u8=cfg.table_dtype == "uint8",
             ),
             in_axes=(0, 0, 0, None, None, 0, 0),
         )
@@ -736,6 +796,7 @@ def synthesize_batch(
                 rand_candidates=cfg.rand_candidates,
                 stop_threshold=cfg.stop_threshold,
                 seeded=int(cfg.trim_seeded_levels),
+                table_u8=cfg.table_dtype == "uint8",
             ),
             in_axes=(0, 0, 0, None, None, 0, 0),
         )
