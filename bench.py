@@ -277,15 +277,22 @@ def main():
                           "(EXACT cf+spatial+traj attention via auto key "
                           "cap on real-flow masks, 20-iter feature opt, "
                           "bg smoothing, 20 steps; GMFlow+EGNet forwards "
-                          "on device in the timed path)",
+                          "on device in the timed path) — vs_baseline is "
+                          "against the workload-matched A100 upper bound "
+                          "(attention proxy 0.65 kf/s + the reference's "
+                          "~500 TFLOP/batch in-loop optimization charged "
+                          "at A100 TF32 PEAK, i.e. the bound OVERSTATES "
+                          "the reference, so the ratio understates the "
+                          "speedup; raw ratios in the other fields)",
                 "value": round(full, 4),
                 "unit": "keyframes/sec",
-                "vs_baseline": round(full / A100_PROXY_KEYFRAMES_PER_SEC, 3),
-                # the proxy excludes the in-loop Adam optimization the
-                # full pipeline runs; vs the derived full-pipeline upper
-                # bound (see comment above) the matched ratio is:
+                "vs_baseline": round(full / full_baseline, 3),
                 "full_baseline_upper_bound": round(full_baseline, 4),
-                "vs_full_baseline": round(full / full_baseline, 3),
+                # vs the raw attention-only proxy, which EXCLUDES the
+                # in-loop Adam optimization this workload runs:
+                "vs_attention_proxy": round(
+                    full / A100_PROXY_KEYFRAMES_PER_SEC, 3
+                ),
                 # same workload as the A100 proxy (no in-loop Adam opt —
                 # the proxy excludes it too): the apples-to-apples ratio
                 "attn_only_value": round(attn_only, 4),

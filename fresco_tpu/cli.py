@@ -12,6 +12,69 @@ import os
 from fresco_tpu.core.config import load_config
 
 
+def run_config(config, tiny: bool = False, keyframes_only: bool = False):
+    """Run one config end-to-end: keyframe translation, then (when
+    ``config.run_ebsynth``) propagation + blending + the BASELINE.md
+    consistency metrics.  Returns the metrics report dict (also written
+    to ``save_path/metrics.json``) or None when propagation was skipped.
+
+    Shared by ``main`` and scripts/parity_report.py."""
+    from fresco_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from fresco_tpu.pipeline.runner import FrescoPipeline
+
+    pipe = FrescoPipeline(config, tiny=tiny)
+    keys = pipe.translate_keyframes()
+
+    if keyframes_only or not config.run_ebsynth:
+        return None
+
+    from fresco_tpu.propagate.video_blend import blend_video, get_fps
+
+    # flow source: the bundle's GMFlow when its checkpoint was loaded
+    # (reference FlowCalc always uses GMFlow, flow/flow_utils.py:165-191);
+    # blend_video's Farneback fallback otherwise (offline)
+    flow_fn = None
+    gpath = str(config.gmflow_path or "")
+    if gpath and os.path.exists(gpath):
+        import jax
+
+        b = pipe.bundle
+        flow_fn = jax.jit(
+            lambda x, y: b.gmflow.apply(b.params["gmflow"], x, y)
+        )
+
+    fps = get_fps(config.file_path) or 30
+    blend_dir = blend_video(
+        config.save_path,
+        key_ind=keys,
+        key_dir="keys",
+        output=os.path.join(config.save_path, "blend.mp4"),
+        fps=fps,
+        n_proc=config.max_process,
+        poisson=True,
+        flow_fn=flow_fn,
+        n_devices="auto" if config.max_process > 1 else 1,
+    )
+
+    # parity metrics (BASELINE.md): consistency of the translated clip
+    # vs the input clip, written next to the outputs
+    import json
+
+    report = {
+        "translated": pipe.evaluate_consistency(blend_dir),
+        "input": pipe.evaluate_consistency(
+            os.path.join(config.save_path, "video")
+        ),
+    }
+    with open(os.path.join(config.save_path, "metrics.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"[fresco_tpu] consistency metrics: {report}")
+    return report
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="FRESCO-TPU video translation")
     parser.add_argument("config_path", type=str, help="YAML configuration file")
@@ -27,42 +90,7 @@ def main(argv=None):
         print(f"{k}: {v}")
     print("=" * 80)
 
-    from fresco_tpu.core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-    from fresco_tpu.pipeline.runner import FrescoPipeline
-
-    pipe = FrescoPipeline(config, tiny=opt.tiny)
-    keys = pipe.translate_keyframes()
-
-    if not opt.keyframes_only and config.run_ebsynth:
-        from fresco_tpu.propagate.video_blend import blend_video, get_fps
-
-        fps = get_fps(config.file_path) or 30
-        blend_dir = blend_video(
-            config.save_path,
-            key_ind=keys,
-            key_dir="keys",
-            output=os.path.join(config.save_path, "blend.mp4"),
-            fps=fps,
-            n_proc=config.max_process,
-            poisson=True,
-        )
-
-        # parity metrics (BASELINE.md): consistency of the translated clip
-        # vs the input clip, written next to the outputs
-        import json
-
-        report = {
-            "translated": pipe.evaluate_consistency(blend_dir),
-            "input": pipe.evaluate_consistency(
-                os.path.join(config.save_path, "video")
-            ),
-        }
-        with open(os.path.join(config.save_path, "metrics.json"), "w") as f:
-            json.dump(report, f, indent=2)
-        print(f"[fresco_tpu] consistency metrics: {report}")
+    run_config(config, tiny=opt.tiny, keyframes_only=opt.keyframes_only)
     print("Done")
 
 

@@ -133,6 +133,50 @@ class _FlowCache:
                     np.savez(path, flow=self.cache[key][0], occ=self.cache[key][1])
         return self.cache[key]
 
+    def get_batch(self, frames: list[np.ndarray], idxs: list[int],
+                  tags: list[str], max_batch: int = 8):
+        """Batched ``get``: one flow_fn dispatch + ONE device consistency
+        call per ``max_batch`` uncached pairs, instead of per pair.
+
+        Per-pair device calls pay the tunnel's ~60-70 ms fetch RTT several
+        times each (CLAUDE.md measurement gotcha) — at 64px that made
+        flows 44% of propagation wall.  Returns [(flow, occ)] in ``idxs``
+        order; results land in the same memory/disk cache as ``get``."""
+        import contextlib
+
+        missing = [
+            (i, t) for i, t in zip(idxs, tags)
+            if t not in self.cache and not (
+                self._path(t) and os.path.exists(self._path(t))
+            )
+        ]
+        # pad the tail chunk to a full max_batch (repeating the last pair)
+        # so a jitted flow_fn compiles for ONE batch shape, not one per
+        # distinct tail length — full-res GMFlow compiles cost minutes
+        pad_n = min(len(missing), max_batch)
+        for lo in range(0, len(missing), max_batch):
+            chunk = missing[lo:lo + max_batch]
+            n = len(chunk)
+            pads = chunk + [chunk[-1]] * (pad_n - n)
+            with (self.timers("flow") if self.timers
+                  else contextlib.nullcontext()):
+                a = jnp.asarray(
+                    np.stack([frames[i] for i, _ in pads]), jnp.float32
+                )
+                b = jnp.asarray(
+                    np.stack([frames[i + 1] for i, _ in pads]), jnp.float32
+                )
+                flow = self.flow_fn(a, b)  # [2N,H,W,2] fwd block, bwd block
+                fwd, bwd = flow[:pad_n], flow[pad_n:]
+                _, bwd_occ = forward_backward_consistency(fwd, bwd)
+                bwd_h, occ_h = np.asarray(bwd[:n]), np.asarray(bwd_occ[:n])
+            for j, (_, t) in enumerate(chunk):
+                self.cache[t] = (bwd_h[j], occ_h[j])
+                p = self._path(t)
+                if p:
+                    np.savez(p, flow=bwd_h[j], occ=occ_h[j])
+        return [self.get(frames, i, tag=t) for i, t in zip(idxs, tags)]
+
 
 def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng,
                            backend: str = "tpu",
@@ -338,6 +382,29 @@ def _synthesize_chain_wave(wave, cfg, rng, devices, inpaint_method="pushpull",
     return {k: tuple(v) for k, v in results.items()}
 
 
+def default_flow_fn(gmflow_path: str | None = None):
+    """Propagation flow source, mirroring the reference's FlowCalc
+    (flow/flow_utils.py:165-191, always GMFlow): a converted-checkpoint
+    GMFlow jitted apply when weights exist at ``gmflow_path`` (or the
+    FrescoConfig default location), else per-pair host Farneback —
+    random-weight GMFlow flows are degenerate (utils/classic_flow.py
+    docstring) and a full-res GMFlow compile costs minutes."""
+    from fresco_tpu.core.config import FrescoConfig
+
+    path = gmflow_path or FrescoConfig.gmflow_path
+    if path and os.path.exists(path):
+        from fresco_tpu.models import convert as C
+        from fresco_tpu.models.gmflow import GMFlow, GMFlowConfig
+        from fresco_tpu.models.gmflow.convert import convert_gmflow
+
+        model = GMFlow(GMFlowConfig())
+        params = {"params": convert_gmflow(C.load_torch_state_dict(path))}
+        return jax.jit(lambda a, b: model.apply(params, a, b))
+    from fresco_tpu.utils.classic_flow import pairwise_flow_fn
+
+    return pairwise_flow_fn()
+
+
 def blend_video(
     base_dir: str,
     key_ind: list[int],
@@ -388,13 +455,7 @@ def blend_video(
     keys = {i: read(os.path.join(base_dir, key_dir, "%04d.png" % i)) for i in key_ind}
 
     if flow_fn is None:
-        from fresco_tpu.models.gmflow import GMFlow, GMFlowConfig
-
-        model = GMFlow(GMFlowConfig())
-        params = model.init(
-            jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))
-        )
-        flow_fn = jax.jit(lambda a, b: model.apply(params, a, b))
+        flow_fn = default_flow_fn()
 
     timers = PhaseTimers()
     fcache = _FlowCache(flow_fn, {}, tmp_dir, timers=timers)
@@ -412,16 +473,15 @@ def blend_video(
         seq_frames = [frames[i] for i in range(beg, end + 1)]
         rev_frames = seq_frames[::-1]
         synth_cache = os.path.join(tmp_dir, f"synth_{beg}_{end}.npz")
-        fwd_flows = [
-            fcache.get(seq_frames, j, tag=f"f{beg}_{j}")
-            for j in range(max(interval - 1, 0))
-        ]
+        js = list(range(max(interval - 1, 0)))
+        fwd_flows = fcache.get_batch(
+            seq_frames, js, [f"f{beg}_{j}" for j in js]
+        )
         bwd_flows = None
         if not (reuse_synthesis and os.path.exists(synth_cache)):
-            bwd_flows = [
-                fcache.get(rev_frames, j, tag=f"b{end}_{j}")
-                for j in range(max(interval - 1, 0))
-            ]
+            bwd_flows = fcache.get_batch(
+                rev_frames, js, [f"b{end}_{j}" for j in js]
+            )
         return (
             (keys[key_ind[seq_i]], keys[key_ind[seq_i + 1]]),
             (seq_frames, rev_frames),
@@ -662,6 +722,10 @@ def main(argv=None):
                         "candidate sweep, 2 = throughput-first)")
     p.add_argument("--stop-threshold", type=float, default=None,
                    help="ebsynth -stopthreshold (0 disables freezing)")
+    p.add_argument("--gmflow", type=str, default=None,
+                   help="GMFlow checkpoint for flows (default: the "
+                        "FrescoConfig location; Farneback fallback when "
+                        "absent)")
     a = p.parse_args(argv)
     pm_kw = {}
     if a.trim is not None:
@@ -673,6 +737,7 @@ def main(argv=None):
         reuse_synthesis=a.ne, keep_tmp=True, synth_backend=a.backend,
         inpaint_method=a.inpaint, patch_cfg=PatchMatchConfig(**pm_kw),
         n_devices=a.n_devices if a.n_devices == "auto" else int(a.n_devices),
+        flow_fn=default_flow_fn(a.gmflow) if a.gmflow else None,
     )
 
 

@@ -47,6 +47,23 @@ def bidirectional_flows(frames: list[np.ndarray] | np.ndarray) -> np.ndarray:
     return np.stack(fwd + bwd)
 
 
+def pairwise_flow_fn():
+    """flow_fn with the _FlowCache contract (propagate/video_blend.py):
+    ``flow_fn(a, b)`` on [N, H, W, 3] float frame pairs returns
+    [2N, H, W, 2] — the N forward flows then the N backward flows
+    (the GMFlow-apply batch layout).  Host-side Farneback — the offline
+    stand-in for a converted GMFlow checkpoint's jitted apply."""
+
+    def flow_fn(a, b):
+        a8 = np.asarray(a).clip(0, 255).astype(np.uint8)
+        b8 = np.asarray(b).clip(0, 255).astype(np.uint8)
+        fwd = [farneback_pair(x, y) for x, y in zip(a8, b8)]
+        bwd = [farneback_pair(y, x) for x, y in zip(a8, b8)]
+        return jnp.asarray(np.stack(fwd + bwd))
+
+    return flow_fn
+
+
 def make_flow_fn(frames: list[np.ndarray] | np.ndarray):
     """A jittable flow_fn closure over precomputed Farneback flows for
     THESE frames (ModelBundle.flow_fn contract).  The flows enter the

@@ -247,3 +247,68 @@ def test_warp_nearest_bool_mask():
     out = warp_nearest(mask, flow)
     assert out.dtype == np.bool_
     assert out[2, 4] and out[3, 5] and not out[2, 3]
+
+
+def test_default_flow_fn_farneback_fallback(tmp_path):
+    """With no GMFlow checkpoint, blend_video's default flow source is
+    per-pair Farneback (random-weight GMFlow flows are degenerate —
+    utils/classic_flow.py docstring), honoring the _FlowCache contract:
+    [1,H,W,3] pair -> [2,H,W,2] (fwd, bwd)."""
+    pytest.importorskip("cv2")
+    from fresco_tpu.propagate.video_blend import default_flow_fn
+
+    flow_fn = default_flow_fn(str(tmp_path / "missing.pth"))
+    import cv2
+
+    r = np.random.default_rng(3)
+    # band-limited noise texture (trackable) and a +4px horizontal shift
+    base = r.uniform(0, 255, (48, 64, 3)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (7, 7), 2.0)
+    base = 255 * (base - base.min()) / (base.max() - base.min())
+    shifted = np.roll(base, 4, axis=1)
+    flow = np.asarray(flow_fn(base[None], shifted[None]))
+    assert flow.shape == (2, 48, 64, 2)
+    # interior forward flow should be ~(+4, 0)
+    inner = flow[0, 12:36, 16:48]
+    assert abs(float(inner[..., 0].mean()) - 4.0) < 1.0
+    assert abs(float(inner[..., 1].mean())) < 1.0
+
+
+def test_flow_cache_get_batch_matches_get(tmp_path):
+    """_FlowCache.get_batch (one device consistency call per chunk, tail
+    padded to a fixed batch shape) must return exactly what per-pair .get
+    returns, land in the same disk cache, and respect idxs order."""
+    from fresco_tpu.propagate.video_blend import _FlowCache
+
+    r = np.random.default_rng(7)
+    frames = [r.uniform(0, 255, (16, 24, 3)).astype(np.float32)
+              for _ in range(6)]
+
+    calls = []
+
+    def flow_fn(a, b):
+        # _FlowCache contract: [N,H,W,3] pairs -> [2N,H,W,2] fwd|bwd
+        calls.append(int(a.shape[0]))
+        a = jnp.asarray(a)
+        fwd = a[..., :2] * 0.01
+        bwd = -jnp.asarray(b)[..., :2] * 0.01
+        return jnp.concatenate([fwd, bwd], axis=0)
+
+    ref = _FlowCache(flow_fn, {}, None)
+    want = [ref.get(frames, j, tag=f"t{j}") for j in range(5)]
+
+    fc = _FlowCache(flow_fn, {}, str(tmp_path))
+    got = fc.get_batch(frames, list(range(5)), [f"t{j}" for j in range(5)],
+                       max_batch=3)
+    assert len(got) == 5
+    for (gf, go), (wf, wo) in zip(got, want):
+        np.testing.assert_allclose(gf, wf, atol=1e-5)
+        np.testing.assert_allclose(go, wo, atol=1e-5)
+    # tail chunk (2 pairs) padded to the full chunk shape: one batch size
+    assert calls[5:] == [3, 3], calls[5:]
+    # disk cache populated -> a fresh cache re-serves without flow_fn
+    fc2 = _FlowCache(flow_fn, {}, str(tmp_path))
+    n_calls = len(calls)
+    out2 = fc2.get_batch(frames, list(range(5)), [f"t{j}" for j in range(5)])
+    assert len(calls) == n_calls
+    np.testing.assert_allclose(out2[2][0], want[2][0], atol=1e-5)
