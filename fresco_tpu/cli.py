@@ -25,8 +25,15 @@ def run_config(config, tiny: bool = False, keyframes_only: bool = False):
 
     from fresco_tpu.pipeline.runner import FrescoPipeline
 
+    import time
+
+    t0 = time.time()
     pipe = FrescoPipeline(config, tiny=tiny)
+    print(f"[fresco_tpu] model build: {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
     keys = pipe.translate_keyframes()
+    print(f"[fresco_tpu] keyframe translation: {time.time() - t0:.1f}s",
+          flush=True)
 
     if keyframes_only or not config.run_ebsynth:
         return None
