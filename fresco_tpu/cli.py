@@ -12,7 +12,8 @@ import os
 from fresco_tpu.core.config import load_config
 
 
-def run_config(config, tiny: bool = False, keyframes_only: bool = False):
+def run_config(config, tiny: bool = False, keyframes_only: bool = False,
+               reuse_synthesis: bool = False):
     """Run one config end-to-end: keyframe translation, then (when
     ``config.run_ebsynth``) propagation + blending + the BASELINE.md
     consistency metrics.  Returns the metrics report dict (also written
@@ -31,7 +32,7 @@ def run_config(config, tiny: bool = False, keyframes_only: bool = False):
     pipe = FrescoPipeline(config, tiny=tiny)
     print(f"[fresco_tpu] model build: {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
-    keys = pipe.translate_keyframes()
+    keys = pipe.translate_keyframes(reuse=reuse_synthesis)
     print(f"[fresco_tpu] keyframe translation: {time.time() - t0:.1f}s",
           flush=True)
 
@@ -64,6 +65,9 @@ def run_config(config, tiny: bool = False, keyframes_only: bool = False):
         poisson=True,
         flow_fn=flow_fn,
         n_devices="auto" if config.max_process > 1 else 1,
+        # reference -ne resume (video_blend.py:299-303): cached interval
+        # synthesis + flows in save_path/tmp survive an interrupted run
+        reuse_synthesis=reuse_synthesis,
     )
 
     # parity metrics (BASELINE.md): consistency of the translated clip

@@ -395,8 +395,13 @@ class FrescoPipeline:
         cap.release()
         return frames
 
-    def translate_keyframes(self, verbose: bool = True) -> list[int]:
-        """Full keyframe translation (run_fresco.py:111-270)."""
+    def translate_keyframes(self, verbose: bool = True,
+                            reuse: bool = False) -> list[int]:
+        """Full keyframe translation (run_fresco.py:111-270).
+
+        ``reuse``: resume affordance — when every keyframe PNG already
+        exists under save_path/keys (an interrupted earlier run), skip
+        the translation entirely and return the key indices."""
         cfg = self.config
         b = self.bundle
         os.makedirs(os.path.join(cfg.save_path, "keys"), exist_ok=True)
@@ -413,6 +418,15 @@ class FrescoPipeline:
             Image.fromarray(f).save(
                 os.path.join(cfg.save_path, "video", "%04d.png" % i)
             )
+
+        if reuse and all(
+            os.path.exists(os.path.join(cfg.save_path, "keys", "%04d.png" % k))
+            for k in keys
+        ):
+            if verbose:
+                print("[fresco_tpu] all keyframes present — skipping "
+                      "translation (resume)")
+            return keys
 
         sublists = keyframe_sublists(keys, cfg.batch_size)
         if verbose:

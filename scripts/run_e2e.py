@@ -23,6 +23,9 @@ def main():
     ap.add_argument("config", nargs="?", default="config/config_music.yaml")
     ap.add_argument("--keyframes-only", action="store_true")
     ap.add_argument("--save-path", default=None)
+    ap.add_argument("--reuse", action="store_true",
+                    help="resume: reuse cached interval synthesis + flows "
+                         "(reference -ne)")
     args = ap.parse_args()
 
     from fresco_tpu.cli import run_config
@@ -36,7 +39,8 @@ def main():
     print(f"[e2e] config={args.config} save_path={cfg.save_path}", flush=True)
 
     t0 = time.time()
-    report = run_config(cfg, keyframes_only=args.keyframes_only)
+    report = run_config(cfg, keyframes_only=args.keyframes_only,
+                        reuse_synthesis=args.reuse)
     wall = time.time() - t0
     print(f"[e2e] TOTAL wall {wall:.1f}s ({wall / 60:.1f} min)")
     if report is not None:

@@ -62,3 +62,13 @@ def test_full_pipeline_tiny(tmp_path):
     img = np.asarray(PIL.Image.open(out[0]))
     assert img.shape == (64, 64, 3)
     assert img.dtype == np.uint8
+
+    # resume affordance: with every keyframe PNG present, reuse=True
+    # must skip translation entirely (no sampler dispatch) and return
+    # the same key indices
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("translate must be skipped on resume")
+
+    pipe._translate_batch = _boom
+    keys2 = pipe.translate_keyframes(verbose=False, reuse=True)
+    assert keys2 == keys
