@@ -193,15 +193,24 @@ def build_attn_params(
     cf_perms = None
     auto = cf_key_cap == "auto"
     if cf_masks is not None and (auto or (cf_key_cap and cf_key_cap > 0)):
+        import numpy as np
+
         cf_perms = {}
         for hw, mask in cf_masks.items():
             f = mask.shape[0]
-            flat = mask.reshape(-1)
-            n_valid = None
-            try:  # host-side count (runs outside jit)
-                n_valid = int(jax.device_get(flat.sum()))
+            # Host-side compaction: one small fetch per scale (the F*hw
+            # bool mask, <=32 KB), then numpy sum/argsort/take.  The
+            # previous eager-device formulation (flat.sum() device_get +
+            # jnp.argsort + jnp.take per scale) compiled 3 tiny remote
+            # programs per (shape, cap) pair and cost the r4 e2e run
+            # ~237 s on its first batch (phase table in PERF.md); on
+            # host the whole loop is sub-millisecond and shape-free.
+            flat = None
+            try:  # tracers raise — jitted smoke harnesses fall through
+                flat = np.asarray(mask).reshape(-1)
             except Exception:
-                pass  # traced masks (e.g. inside a jitted smoke harness)
+                pass
+            n_valid = int(flat.sum()) if flat is not None else None
             if auto:
                 if n_valid is None:
                     continue  # dense masked path for this scale (exact)
@@ -218,8 +227,19 @@ def build_attn_params(
                             f"keys; use cf_key_cap='auto' or raise the cap "
                             f"for exact reference semantics"
                         )
-            perm = jnp.argsort(~flat, stable=True)[:k_cap]
-            cf_perms[hw] = (perm, jnp.take(flat, perm))
+            if flat is not None:
+                # stable argsort of ~valid packs valid keys first in
+                # frame-major order — identical semantics to the former
+                # jnp.argsort(~flat, stable=True)
+                perm = np.argsort(~flat, kind="stable")[:k_cap]
+                cf_perms[hw] = (
+                    perm.astype(np.int32), flat[perm]
+                )
+            else:
+                # traced masks with a numeric cap: keep the in-graph path
+                tflat = mask.reshape(-1)
+                perm = jnp.argsort(~tflat, stable=True)[:k_cap]
+                cf_perms[hw] = (perm, jnp.take(tflat, perm))
     return FrescoAttnParams(
         cf_masks=cf_masks,
         cf_perms=cf_perms,

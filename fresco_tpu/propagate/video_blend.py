@@ -250,16 +250,28 @@ def _synthesize_chain_pair(key_imgs, frames_pair, flows_pair, cfg, rng,
                 )
         # per-direction calls: the vmapped batch-2 program measured SLOWER
         # than two batch-1 runs (15.1 vs 11.9 s/frame at 512px — batched
-        # gathers scale with rows and add vmap overhead)
+        # gathers scale with rows and add vmap overhead).  Both directions
+        # are DISPATCHED before either is fetched (direction 0's result
+        # fetch overlaps direction 1's device compute), the two target
+        # stacks go up as ONE transfer, and clip+uint8 happens on device
+        # so the output fetch is 1 MB instead of 3.9 MB of f32 (the
+        # r4 probe measured ~22 MB/s tunnel fetch + 0.5 s/position of
+        # serialized fetch stalls — PERF.md round-4 chain attribution).
         with tick("synth"):
+            tgt_d = jnp.asarray(np.stack(tgt_stacks))
+            pend = []
             for d in range(2):
                 out, err, _ = synthesize(
-                    styles[d], src_guides[d], jnp.asarray(tgt_stacks[d]),
+                    styles[d], src_guides[d], tgt_d[d],
                     weights, cfg,
                     rng=jax.random.fold_in(jax.random.fold_in(rng, j), d),
                     backend=backend,
                 )
-                out_np = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+                # XLA f32->u8 convert truncates toward zero, same as the
+                # former np.clip(...).astype(np.uint8)
+                pend.append((jnp.clip(out, 0, 255).astype(jnp.uint8), err))
+            for d, (out_u8, err) in enumerate(pend):
+                out_np = np.asarray(out_u8)
                 outs[d].append(out_np)
                 errs[d].append(np.asarray(err))
                 prev_stylized[d] = out_np
@@ -497,11 +509,13 @@ def blend_video(
                 bwd_out=np.stack(bwd_out), bwd_err=np.stack(bwd_err),
             )
 
-    def synth_interval(seq_i):
+    def synth_interval(seq_i, inputs):
         """Synthesize both chains of one interval (device-heavy half).
 
-        Returns (fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows)."""
-        key_imgs, frames_pair, flows_pair, synth_cache = interval_inputs(seq_i)
+        ``inputs`` is an interval_inputs() tuple (computed ahead on the
+        flow thread).  Returns (fwd_out, fwd_err, bwd_out, bwd_err,
+        fwd_flows)."""
+        key_imgs, frames_pair, flows_pair, synth_cache = inputs
         fwd_flows = flows_pair[0]
         if reuse_synthesis and os.path.exists(synth_cache):
             z = np.load(synth_cache)
@@ -520,16 +534,16 @@ def blend_video(
         save_synth(synth_cache, fwd_out, fwd_err, bwd_out, bwd_err)
         return fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows
 
-    def synth_wave(wave_idx):
+    def synth_wave(wave_idx, inputs_list):
         """Synthesize a wave of intervals concurrently over the mesh.
 
-        Returns {seq_i: (fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows)}
+        ``inputs_list`` holds each interval's interval_inputs() tuple
+        (computed ahead on the flow thread).  Returns
+        {seq_i: (fwd_out, fwd_err, bwd_out, bwd_err, fwd_flows)}
         in the same per-interval format as synth_interval."""
         results, wave, meta = {}, [], {}
-        for seq_i in wave_idx:
-            key_imgs, frames_pair, flows_pair, synth_cache = (
-                interval_inputs(seq_i)
-            )
+        for seq_i, inputs in zip(wave_idx, inputs_list):
+            key_imgs, frames_pair, flows_pair, synth_cache = inputs
             if reuse_synthesis and os.path.exists(synth_cache):
                 z = np.load(synth_cache)
                 results[seq_i] = (
@@ -591,15 +605,39 @@ def blend_video(
             cv2.imwrite(os.path.join(blend_dir, "%04d.png" % c_id), res)
 
     # Interval concurrency (replaces the reference's 8-process fan-out,
-    # video_blend.py:114-139): intervals are independent.  With one
-    # device, a depth-1 prefetch thread runs interval k+1's device
-    # synthesis while the host blends interval k.  With a mesh, WAVES of
-    # up to n_devices//2 intervals (2 chains each) run concurrently —
-    # one chain per device, zero collectives — and the prefetch thread
-    # overlaps wave k+1's synthesis with wave k's host blending.
+    # video_blend.py:114-139): intervals are independent.  Three-stage
+    # thread pipeline:
+    #   flow thread  — interval_inputs (host Farneback / cached flows),
+    #                  kept FLOW_AHEAD intervals ahead so flow compute
+    #                  overlaps device synthesis (flows were 21.7% of
+    #                  the r4 e2e propagation wall when run serially
+    #                  before each interval's synthesis — PERF.md);
+    #   synth thread — device patch synthesis for interval/wave k+1;
+    #   main thread  — host blending for interval k.
+    # With a mesh, WAVES of up to n_devices//2 intervals (2 chains each)
+    # run concurrently — one chain per device, zero collectives.
     from concurrent.futures import ThreadPoolExecutor
 
     executor = ThreadPoolExecutor(max_workers=1)
+    flow_ex = ThreadPoolExecutor(max_workers=1)
+    FLOW_AHEAD = 2  # intervals of flows held ready beyond the one synthesizing
+    inputs_fut: dict = {}
+
+    def queue_inputs(order, pos):
+        """Enqueue interval_inputs on the flow thread for synthesis-order
+        positions up to ``pos + FLOW_AHEAD`` (idempotent)."""
+        for i in order[: pos + 1 + FLOW_AHEAD]:
+            if i not in inputs_fut:
+                inputs_fut[i] = flow_ex.submit(interval_inputs, i)
+
+    def take_inputs(seq_i):
+        """Resolve + release one interval's prefetched inputs (runs on
+        the synth thread so the main thread never blocks on flows)."""
+        inp = inputs_fut[seq_i].result()
+        inputs_fut[seq_i] = _CONSUMED
+        return inp
+
+    _CONSUMED = object()
     t0 = time.time()
     if n_devices > 1 and synth_backend == "tpu" and n_seq > 0:
         per_wave = max(n_devices // 2, 1)
@@ -609,21 +647,40 @@ def blend_video(
             range(n_seq), key=lambda i: key_ind[i + 1] - key_ind[i]
         )
         waves = [order[i:i + per_wave] for i in range(0, n_seq, per_wave)]
-        nxt = executor.submit(synth_wave, waves[0])
+        flat_order = [i for w in waves for i in w]
+
+        def launch_wave(wi):
+            queue_inputs(flat_order, min((wi + 1) * per_wave, n_seq) - 1)
+            return executor.submit(
+                lambda: synth_wave(
+                    waves[wi], [take_inputs(i) for i in waves[wi]]
+                )
+            )
+
+        nxt = launch_wave(0)
         for wi, wave_idx in enumerate(waves):
             results = nxt.result()
             if wi + 1 < len(waves):
-                nxt = executor.submit(synth_wave, waves[wi + 1])
+                nxt = launch_wave(wi + 1)
             for seq_i in sorted(wave_idx):
                 blend_interval(seq_i, *results[seq_i])
     elif n_seq > 0:
-        nxt = executor.submit(synth_interval, 0)
+        order = list(range(n_seq))
+
+        def launch(seq_i):
+            queue_inputs(order, seq_i)
+            return executor.submit(
+                lambda: synth_interval(seq_i, take_inputs(seq_i))
+            )
+
+        nxt = launch(0)
         for seq_i in range(n_seq):
             res = nxt.result()
             if seq_i + 1 < n_seq:
-                nxt = executor.submit(synth_interval, seq_i + 1)
+                nxt = launch(seq_i + 1)
             blend_interval(seq_i, *res)
     executor.shutdown(wait=False)
+    flow_ex.shutdown(wait=False)
     cv2.imwrite(
         os.path.join(blend_dir, "%04d.png" % key_ind[-1]), keys[key_ind[-1]]
     )
