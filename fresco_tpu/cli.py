@@ -55,6 +55,7 @@ def run_config(config, tiny: bool = False, keyframes_only: bool = False,
         )
 
     fps = get_fps(config.file_path) or 30
+    prop_phases: dict = {}
     blend_dir = blend_video(
         config.save_path,
         key_ind=keys,
@@ -68,11 +69,24 @@ def run_config(config, tiny: bool = False, keyframes_only: bool = False,
         # reference -ne resume (video_blend.py:299-303): cached interval
         # synthesis + flows in save_path/tmp survive an interrupted run
         reuse_synthesis=reuse_synthesis,
+        timers_out=prop_phases,
     )
 
     # parity metrics (BASELINE.md): consistency of the translated clip
     # vs the input clip, written next to the outputs
     import json
+
+    # machine-readable wall-clock attribution next to the outputs
+    # (keyframe phases from the runner + propagation phases from
+    # blend_video; propagation phases overlap across its threads)
+    phases = {
+        "keyframes": {
+            k: round(v, 3) for k, v in pipe.phases.times.items()
+        },
+        "propagation": {k: round(v, 3) for k, v in prop_phases.items()},
+    }
+    with open(os.path.join(config.save_path, "phases.json"), "w") as f:
+        json.dump(phases, f, indent=2)
 
     report = {
         "translated": pipe.evaluate_consistency(blend_dir),

@@ -434,6 +434,7 @@ def blend_video(
     synth_backend: str = "tpu",
     inpaint_method: str = "pushpull",
     n_devices: int | str = 1,
+    timers_out: dict | None = None,
 ):
     """Reference video_blend.py main flow.  Reads base_dir/video/%04d.png
     and base_dir/<key_dir>/%04d.png, writes base_dir/blend/%04d.png and
@@ -452,7 +453,9 @@ def blend_video(
     reference's MAX_PROCESS=8 worker fan-out (video_blend.py:114-139)
     as one SPMD wave per step (propagate/parallel.py).  1 = serial
     (single-chip); 'auto' = all local devices.  Outputs are identical
-    either way (per-job rng streams match the serial path)."""
+    either way (per-job rng streams match the serial path).
+    ``timers_out``: optional dict, filled with the per-phase wall
+    seconds (plus ``wall_total``) on return."""
     video_dir = os.path.join(base_dir, "video")
     blend_dir = os.path.join(base_dir, "blend")
     tmp_dir = os.path.join(base_dir, "tmp")
@@ -688,6 +691,9 @@ def blend_video(
     print(f"[fresco_tpu] propagation+blend: {total:.1f}s")
     if timers.t:
         print(timers.table(total))
+    if timers_out is not None:
+        timers_out.update(timers.t)
+        timers_out["wall_total"] = total
 
     if output:
         frames_to_video(blend_dir, output, fps)
