@@ -208,7 +208,11 @@ def build_attn_params(
             flat = None
             try:  # tracers raise — jitted smoke harnesses fall through
                 flat = np.asarray(mask).reshape(-1)
-            except Exception:
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                # only the tracer cases degrade to the in-graph path;
+                # genuine device-fetch failures (e.g. tunnel UNAVAILABLE)
+                # must propagate, not silently change the compiled program
                 pass
             n_valid = int(flat.sum()) if flat is not None else None
             if auto:

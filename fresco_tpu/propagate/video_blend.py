@@ -382,7 +382,10 @@ def _synthesize_chain_wave(wave, cfg, rng, devices, inpaint_method="pushpull",
                 styles, src_guides, jnp.asarray(np.stack(tgt_stacks)),
                 weights, cfg, jnp.stack(keys), mesh=mesh,
             )
-            out_np = np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+            # Same device-side clip+uint8 as the serial chain (above):
+            # one conversion semantics for the wave==serial invariant,
+            # and the fetch is 1 MB/job instead of 3.9 MB of f32.
+            out_np = np.asarray(jnp.clip(out, 0, 255).astype(jnp.uint8))
             err_np = np.asarray(err)
         for bi, job in enumerate(jobs):
             if step < len(job["frames"]) - 1:
@@ -642,48 +645,53 @@ def blend_video(
 
     _CONSUMED = object()
     t0 = time.time()
-    if n_devices > 1 and synth_backend == "tpu" and n_seq > 0:
-        per_wave = max(n_devices // 2, 1)
-        # group intervals of similar length per wave: finished chains
-        # idle their device until the wave's longest chain completes
-        order = sorted(
-            range(n_seq), key=lambda i: key_ind[i + 1] - key_ind[i]
-        )
-        waves = [order[i:i + per_wave] for i in range(0, n_seq, per_wave)]
-        flat_order = [i for w in waves for i in w]
+    try:
+        if n_devices > 1 and synth_backend == "tpu" and n_seq > 0:
+            per_wave = max(n_devices // 2, 1)
+            # group intervals of similar length per wave: finished chains
+            # idle their device until the wave's longest chain completes
+            order = sorted(
+                range(n_seq), key=lambda i: key_ind[i + 1] - key_ind[i]
+            )
+            waves = [order[i:i + per_wave] for i in range(0, n_seq, per_wave)]
+            flat_order = [i for w in waves for i in w]
 
-        def launch_wave(wi):
-            queue_inputs(flat_order, min((wi + 1) * per_wave, n_seq) - 1)
-            return executor.submit(
-                lambda: synth_wave(
-                    waves[wi], [take_inputs(i) for i in waves[wi]]
+            def launch_wave(wi):
+                queue_inputs(flat_order, min((wi + 1) * per_wave, n_seq) - 1)
+                return executor.submit(
+                    lambda: synth_wave(
+                        waves[wi], [take_inputs(i) for i in waves[wi]]
+                    )
                 )
-            )
 
-        nxt = launch_wave(0)
-        for wi, wave_idx in enumerate(waves):
-            results = nxt.result()
-            if wi + 1 < len(waves):
-                nxt = launch_wave(wi + 1)
-            for seq_i in sorted(wave_idx):
-                blend_interval(seq_i, *results[seq_i])
-    elif n_seq > 0:
-        order = list(range(n_seq))
+            nxt = launch_wave(0)
+            for wi, wave_idx in enumerate(waves):
+                results = nxt.result()
+                if wi + 1 < len(waves):
+                    nxt = launch_wave(wi + 1)
+                for seq_i in sorted(wave_idx):
+                    blend_interval(seq_i, *results[seq_i])
+        elif n_seq > 0:
+            order = list(range(n_seq))
 
-        def launch(seq_i):
-            queue_inputs(order, seq_i)
-            return executor.submit(
-                lambda: synth_interval(seq_i, take_inputs(seq_i))
-            )
+            def launch(seq_i):
+                queue_inputs(order, seq_i)
+                return executor.submit(
+                    lambda: synth_interval(seq_i, take_inputs(seq_i))
+                )
 
-        nxt = launch(0)
-        for seq_i in range(n_seq):
-            res = nxt.result()
-            if seq_i + 1 < n_seq:
-                nxt = launch(seq_i + 1)
-            blend_interval(seq_i, *res)
-    executor.shutdown(wait=False)
-    flow_ex.shutdown(wait=False)
+            nxt = launch(0)
+            for seq_i in range(n_seq):
+                res = nxt.result()
+                if seq_i + 1 < n_seq:
+                    nxt = launch(seq_i + 1)
+                blend_interval(seq_i, *res)
+    finally:
+        # cancel_futures so a synthesis/blend failure doesn't hang the
+        # process while queued flow/synth work (minutes of device calls
+        # over the tunnel) drains on the non-daemon worker threads.
+        executor.shutdown(wait=False, cancel_futures=True)
+        flow_ex.shutdown(wait=False, cancel_futures=True)
     cv2.imwrite(
         os.path.join(blend_dir, "%04d.png" % key_ind[-1]), keys[key_ind[-1]]
     )

@@ -65,7 +65,10 @@ COLLECTIVE_TOKENS = (
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--jobs", type=int, default=8)
-    ap.add_argument("--size", type=int, default=96)
+    # 192 is the size the 1.107x overhead claim was measured at
+    # (PERF.md round-4 wave table); 96-px toy jobs sit at ~1.34x fixed
+    # dispatch overhead and would fail the gate below spuriously.
+    ap.add_argument("--size", type=int, default=192)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
