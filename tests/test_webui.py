@@ -1,5 +1,41 @@
-"""WebUI control-to-config mapping (reference webUI.py:115-146,337-338)."""
+"""WebUI control-to-config mapping (reference webUI.py:115-146,337-338)
+and offline execution of the full Blocks app under a recording-fake
+gradio (gradio_stub.py) — every line of webui.launch() runs in tests
+even though gradio itself is not installable here."""
+import inspect
+import os
+import sys
+
+import pytest
+
 from fresco_tpu.webui import GlobalState, ui_to_config
+
+#: ui_to_config's positional parameter order == the Blocks `inputs`
+#: wiring order (reference webUI.py:447-578 ips)
+UI_PARAM_NAMES = [
+    p.name for p in inspect.signature(ui_to_config).parameters.values()
+]
+
+
+def _launch_stubbed(**kwargs):
+    """Run fresco_tpu.webui.launch() with the recording-fake gradio
+    installed; returns the stub Blocks app."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    try:
+        import gradio_stub
+    finally:
+        sys.path.pop(0)
+    old = sys.modules.get("gradio")
+    sys.modules["gradio"] = gradio_stub
+    try:
+        import fresco_tpu.webui as w
+
+        return w.launch(**kwargs)
+    finally:
+        if old is not None:
+            sys.modules["gradio"] = old
+        else:
+            sys.modules.pop("gradio", None)
 
 
 def _base_args(**over):
@@ -119,6 +155,99 @@ def test_advanced_controls_defaults():
     assert cfg.freeu_b1 == d.freeu_b1 and cfg.freeu_s2 == d.freeu_s2
     assert cfg.use_poisson is True
     assert cfg.frame_count is None
+
+
+def test_launch_constructs_under_stub():
+    """webui.launch() builds the full Blocks app (reference
+    webUI.py:418-637) without error: 34-control `inputs` wiring in
+    ui_to_config order, three buttons with handlers, example gallery
+    rows for every demo config, and launch kwargs passed through."""
+    app = _launch_stubbed(tiny=True, server_port=7861)
+    assert app.launched == {"server_port": 7861}
+
+    # three actions wired (reference webUI.py:631-635), sharing ONE
+    # inputs list
+    labels = [b[0] for b in app.buttons]
+    assert labels == ["Run Key Frames", "Run Propagation", "Run All"]
+    inputs = app.buttons[0][2]
+    assert all(b[2] is inputs for b in app.buttons)
+    assert len(inputs) == len(UI_PARAM_NAMES) == 34
+
+    # the control defaults, fed positionally, must land on the right
+    # config fields — this pins the inputs order to ui_to_config's
+    # signature (a swapped pair would scramble these values)
+    cfg = ui_to_config(*[c.value for c in inputs])
+    assert cfg.file_path == "./data/music.mp4"
+    assert cfg.save_path == "./output/ui/"
+    assert cfg.sd_path == "runwayml/stable-diffusion-v1-5"
+    assert cfg.controlnet_type == "hed"
+    assert cfg.num_inference_steps == 20 and cfg.num_warmup_steps == 5
+    assert cfg.batch_size == 8
+    assert (cfg.mininterv, cfg.maxinterv) == (5, 20)
+    assert (cfg.canny_low, cfg.canny_high) == (50, 100)
+    assert cfg.guidance_scale == 7.5
+    assert cfg.use_poisson is True and cfg.max_process == 4
+    assert cfg.frame_count is None
+
+    # example gallery: one row per demo config, each a full inputs row
+    assert app.examples, "example gallery missing"
+    rows, ex_inputs = app.examples[0]
+    assert ex_inputs is inputs
+    import glob
+
+    n_cfgs = len(glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "config", "*.yaml")
+    ))
+    assert len(rows) == n_cfgs >= 4
+    assert all(len(r) == 34 for r in rows)
+
+
+@pytest.mark.slow
+def test_launch_handlers_run_tiny(tmp_path):
+    """Each button's real click handler runs end-to-end against a tiny
+    config: Run Key Frames translates, Run Propagation blends from the
+    written keys, Run All does both (reference webUI.py:203-207)."""
+    import fresco_tpu.webui as w
+
+    app = _launch_stubbed(tiny=True)
+    inputs = app.buttons[0][2]
+    v = dict(zip(UI_PARAM_NAMES, [c.value for c in inputs]))
+    v.update(
+        file_path="/root/reference/data/music.mp4",
+        save_path=str(tmp_path) + "/",
+        prompt="a cartoon",
+        resolution=64,
+        num_inference_steps=4,
+        x0_strength=0.5,
+        mininterv=4,
+        maxinterv=4,
+        frame_count=9,             # keys 0,4,8 -> 2 tiny intervals
+        controlnet_type="canny",   # no detector weights needed
+        use_saliency=False,        # no EGNet weights offline
+        use_freeu=False,
+        use_poisson=False,
+        max_process=1,
+    )
+    if not os.path.exists(v["file_path"]):
+        pytest.skip("demo clip not mounted")
+    args = [v[n] for n in UI_PARAM_NAMES]
+    handlers = {label: fn for label, fn, _, _ in app.buttons}
+
+    old_state = w.STATE
+    w.STATE = GlobalState()
+    try:
+        log = handlers["Run Key Frames"](*args)
+        assert "translated" in log
+        keys_dir = os.path.join(v["save_path"], "keys")
+        assert len(os.listdir(keys_dir)) == 3
+
+        out = handlers["Run Propagation"](*args)
+        assert os.path.exists(out) and out.endswith("blend.mp4")
+
+        out2 = handlers["Run All"](*args)
+        assert os.path.exists(out2)
+    finally:
+        w.STATE = old_state
 
 
 def test_example_inputs_roundtrip():
