@@ -75,6 +75,16 @@ def main(argv=None):
                     help="reuse existing save_path/metrics.json when present")
     ap.add_argument("--frame-count", type=int, default=None,
                     help="cap input frames per config (smoke runs)")
+    ap.add_argument("--resolution", type=int, default=None,
+                    help="override the working resolution (smoke runs; "
+                         "the parity numbers are defined at the configs' "
+                         "own resolution)")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="override num_inference_steps (smoke runs); "
+                         "warmup is rescaled proportionally")
+    ap.add_argument("--out-root", default=None,
+                    help="rebase each config's save_path under this dir "
+                         "(hermetic smoke runs)")
     ap.add_argument("--out", default="output/parity/report.json")
     ap.add_argument("--md", default="PARITY.md")
     ap.add_argument("--platform", default=None, choices=("cpu", "axon", "tpu"),
@@ -104,6 +114,18 @@ def main(argv=None):
         config = config.replace(run_ebsynth=True)
         if args.frame_count:
             config = config.replace(frame_count=args.frame_count)
+        if args.resolution:
+            config = config.replace(resolution=args.resolution)
+        if args.steps:
+            frac = config.num_warmup_steps / max(config.num_inference_steps, 1)
+            config = config.replace(
+                num_inference_steps=args.steps,
+                num_warmup_steps=int(args.steps * frac),
+            )
+        if args.out_root:
+            config = config.replace(
+                save_path=os.path.join(args.out_root, name) + os.sep
+            )
         mpath = os.path.join(config.save_path, "metrics.json")
         t0 = time.time()
         if args.reuse and os.path.exists(mpath):

@@ -45,6 +45,41 @@ def test_make_table_formats_all_columns():
     assert "config_dog" in lines[3] and "—" in lines[3]
 
 
+import pytest
+
+
+@pytest.mark.slow
+def test_tiny_four_config_sweep_offline(tmp_path, monkeypatch):
+    """All four bundled demo configs run end-to-end from the repo alone
+    (VERDICT r4 #5): tiny random-weight models, 9 frames at 64px, real
+    keyframe translation + propagation + metrics per config, yielding a
+    4-row PARITY table."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for clip in ("music", "dog", "car-turn", "boxer-punching-towards-camera"):
+        if not os.path.exists(os.path.join(repo, "data", clip + ".mp4")):
+            pytest.skip(f"demo clip {clip} not bundled")
+    monkeypatch.chdir(repo)  # configs use ./data/... relative paths
+    mod = _load_parity_module()
+    out_json = tmp_path / "report.json"
+    out_md = tmp_path / "PARITY_tiny.md"
+    rc = mod.main([
+        "--tiny", "--frame-count", "9", "--resolution", "64",
+        "--steps", "4", "--out-root", str(tmp_path / "runs"),
+        "--out", str(out_json), "--md", str(out_md),
+    ])
+    assert rc == 0
+    rows = json.loads(out_json.read_text())
+    assert [r["config"] for r in rows] == [
+        "config_boxer", "config_carturn", "config_dog", "config_music",
+    ]
+    for r in rows:
+        assert r["translated"]["warp_error"] is not None
+        assert 0.0 < r["translated"]["frame_similarity"] <= 1.0
+        assert r["input"]["warp_error"] is not None
+    md = out_md.read_text()
+    assert md.count("config_") == 4
+
+
 def test_reuse_path_builds_report_without_running(tmp_path, monkeypatch):
     mod = _load_parity_module()
     # fabricate a config + a previous run's metrics.json
