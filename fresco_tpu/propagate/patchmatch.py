@@ -63,14 +63,13 @@ class PatchMatchConfig:
     # −0.05 dB); 2 = additionally drop shift-4 + one more random scale
     # (quality measured in PERF.md).
     trim_seeded_levels: bool | int = True
-    # Gather-table storage dtype: "uint8" stores the pre-stacked patch
-    # table (style/guides, 0..255-natured) quantized to uint8 with the
-    # omega term as two fixed-point uint8 columns — HALVES the bytes of
-    # the per-candidate wide row-gather (which has a measured width
-    # cost: PERF.md round-3 gather table; VERDICT r3 #7).  At the 0..255
-    # range bf16 already rounds to ~1.0 spacing, so quantization error
-    # is comparable; PSNR impact measured in PERF.md round 4.
-    # "bfloat16" = exact r3 behavior.
+    # Gather-table storage dtype.  "uint8" is MEASURED-AND-REJECTED as
+    # a default (PERF.md round 4): it halves the row bytes of the
+    # per-candidate wide gather (omega as two fixed-point uint8
+    # columns, quality −0.02 dB) but runs ~3% SLOWER — XLA's TPU gather
+    # on sublane-packed uint8 rows spends more on unpacking than the
+    # halved bytes save.  The option stays tested as the negative-
+    # result record; "bfloat16" is the maintained path.
     table_dtype: str = "bfloat16"
     # Active-pixel compaction tiers for the stop-threshold freeze mask.
     # The candidate row-gather cost is per-ROW and width-independent
@@ -714,95 +713,8 @@ def _synthesize_native(style, source_guides, target_guides, guide_weights, cfg):
     return jnp.asarray(out), jnp.asarray(err), jnp.asarray(nnf)
 
 
-def synthesize_batch(
-    styles: jnp.ndarray,
-    source_guides: jnp.ndarray,
-    target_guides: jnp.ndarray,
-    guide_channel_weights: jnp.ndarray,
-    cfg: PatchMatchConfig = PatchMatchConfig(),
-    rng: jax.Array | None = None,
-):
-    """Batched guided synthesis: leading axis over independent jobs.
-
-    Used to run an interval's forward and backward chains (and, at equal
-    interval lengths, multiple intervals) as ONE device program — the
-    reference fans these out as separate OS processes + subprocess calls
-    (video_blend.py:114-139).  All jobs share shapes; the per-level
-    kernel is vmapped over the job axis.
-
-    styles [B,Hs,Ws,Cs]; guides [B,H,W,Cg]; returns (out [B,Ht,Wt,Cs],
-    err [B,Ht,Wt], nnf [B,Ht,Wt,2]).
-    """
-    if rng is None:
-        rng = jax.random.key(0)
-    nb, sh, sw, cs = styles.shape
-    th, tw = target_guides.shape[1:3]
-    weights_s = jnp.full((cs,), cfg.style_weight / cs, jnp.float32)
-
-    def make_level_fn(seeded: int):
-        return jax.vmap(
-            functools.partial(
-                _synthesize_level,
-                patch=cfg.patch_size,
-                pm_iters=cfg.pm_iters,
-                sv_iters=cfg.sv_iters,
-                uniformity=cfg.uniformity,
-                rand_candidates=cfg.rand_candidates,
-                stop_threshold=cfg.stop_threshold,
-                seeded=seeded,
-                table_u8=cfg.table_dtype == "uint8",
-            ),
-            in_axes=(0, 0, 0, None, None, 0, 0),
-        )
-
-    sizes = _pyramid_sizes(sh, sw, th, tw, cfg.patch_size, cfg.num_pyramid_levels)
-    nnf = None
-    for li, ((lsh, lsw), (lth, ltw)) in enumerate(sizes):
-        s_style = resize_bilinear(styles, (lsh, lsw))
-        s_guides = resize_bilinear(source_guides, (lsh, lsw))
-        t_guides = resize_bilinear(target_guides, (lth, ltw))
-        src_all = jnp.concatenate([s_style, s_guides], axis=-1)
-
-        rng, k_init, k_run = jax.random.split(rng, 3)
-        r = cfg.patch_size // 2
-        if nnf is None:
-            nnf = jnp.stack(
-                [
-                    jax.random.randint(k_init, (nb, lth, ltw), r, lsh - r),
-                    jax.random.randint(
-                        jax.random.fold_in(k_init, 1), (nb, lth, ltw), r, lsw - r
-                    ),
-                ],
-                axis=-1,
-            )
-        else:
-            up = resize_bilinear(nnf.astype(jnp.float32), (lth, ltw))
-            nnf = (up * 2.0).astype(jnp.int32)
-
-        nnf, out, err = make_level_fn(
-            int(cfg.trim_seeded_levels) if li > 0 else 0
-        )(
-            src_all, t_guides, s_style, guide_channel_weights, weights_s,
-            nnf, jax.random.split(k_run, nb),
-        )
-    if cfg.extra_pass_3x3:
-        extra_fn = jax.vmap(
-            functools.partial(
-                _synthesize_level,
-                patch=3,
-                pm_iters=cfg.pm_iters,
-                sv_iters=cfg.sv_iters,
-                uniformity=0.0,
-                rand_candidates=cfg.rand_candidates,
-                stop_threshold=cfg.stop_threshold,
-                seeded=int(cfg.trim_seeded_levels),
-                table_u8=cfg.table_dtype == "uint8",
-            ),
-            in_axes=(0, 0, 0, None, None, 0, 0),
-        )
-        rng, k_extra = jax.random.split(rng)
-        nnf, out, err = extra_fn(
-            src_all, t_guides, s_style, guide_channel_weights, weights_s,
-            nnf, jax.random.split(k_extra, nb),
-        )
-    return out, err, nnf
+# NOTE: the vmapped multi-job `synthesize_batch` was measured SLOWER
+# than per-job calls (gathers scale with rows; vmap turns the freeze-
+# compaction lax.cond tiers into run-every-tier selects) and rejected —
+# it lives in propagate/rejected.py as a negative-result record.
+# Production multi-job synthesis is parallel.synthesize_sharded.

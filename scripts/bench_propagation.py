@@ -36,9 +36,8 @@ def main():
     from fresco_tpu.propagate.guides import (
         GUIDE_WEIGHTS, edge_guide, positional_first,
     )
-    from fresco_tpu.propagate.patchmatch import (
-        PatchMatchConfig, synthesize_batch,
-    )
+    from fresco_tpu.propagate.patchmatch import PatchMatchConfig
+    from fresco_tpu.propagate.rejected import synthesize_batch
 
     cap = cv2.VideoCapture("/root/reference/data/music.mp4")
     ok1, f0 = cap.read()

@@ -3,7 +3,7 @@
 VERDICT r3 #3a: fold the fwd+bwd warp applications into one batched
 GEMM.  ``jax.grad(temporal_loss)`` dispatches 4 warp-shaped GEMMs per
 Adam iteration and contracts bf16 W against an f32 cotangent in the
-backward pair; ``guidance.temporal_grad`` stacks both directions into
+backward pair; ``diffusion.rejected.temporal_grad`` stacks both directions into
 one [2F, hw, hw] GEMM each way with a bf16 cotangent.  This script
 times both at the two dominant feature-opt stage shapes (512px, batch
 8, chunk 2) and checks numerics.
@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from fresco_tpu.core.cache import enable_compilation_cache
 from fresco_tpu.diffusion import guidance as G
+from fresco_tpu.diffusion import rejected as GR
 
 
 def fetch(x):
@@ -73,7 +74,7 @@ def run_shape(h, w, c, f=8, chunk=2):
         )(cs)
 
     def new(cs, wf, wb, occ_f, occ_b):
-        return G.temporal_grad(cs, wf, wb, occ_f, occ_b, chunk)
+        return GR.temporal_grad(cs, wf, wb, occ_f, occ_b, chunk)
 
     args = (wf, wb, occ_f, occ_b)
     g_old = jax.jit(old)(cs, *args)

@@ -174,14 +174,14 @@ def test_temporal_loss_sparse_matches_dense(rng):
 
 def test_temporal_grad_folded_matches_autodiff(rng):
     """The folded analytic temporal gradient (fwd+bwd warps stacked into
-    one batched GEMM each way, guidance.temporal_grad) == autodiff of
+    one batched GEMM each way, diffusion.rejected.temporal_grad — kept as
+    a measured-rejected negative-result record) == autodiff of
     temporal_loss, with binary occlusion masks (the dilated masks the
     sampler feeds) and f32 warp matrices."""
     import jax
 
-    from fresco_tpu.diffusion.guidance import (
-        temporal_grad, temporal_loss, warp_matrix,
-    )
+    from fresco_tpu.diffusion.guidance import temporal_loss, warp_matrix
+    from fresco_tpu.diffusion.rejected import temporal_grad
 
     chunk, f, h, w, c = 2, 3, 6, 5, 4
     cs = jnp.asarray(rng.standard_normal((chunk * f, h, w, c)), jnp.float32)
