@@ -205,14 +205,41 @@ def bench_pipeline(use_opt: bool, include_aux_cost: bool | None = None):
         f"{time.perf_counter()-t0:.0f}s",
         file=sys.stderr, flush=True,
     )
-    best = None
-    for _ in range(3):  # ~10% tunnel run-to-run variance: report best
-        t0 = time.perf_counter()
-        latents, _ = pipe._translate_batch(imgs, prompts, nprompts, None, False, key)
-        _fetch(latents)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return FRAMES / best
+    # Steady state, pipelined exactly like translate_keyframes: batch
+    # i+1's prep (upload/prompts/detector/aux forwards/mapping/attn
+    # params) runs on a prep thread while batch i's denoise scan owns
+    # the device — the reference pays prep serially between batches
+    # (run_fresco.py:199-234).  Methodology (VERDICT r4 #6): N timed
+    # batches, report the MEDIAN batch wall and the min-max spread; the
+    # tunnel shows ~5-10% run-to-run variance, so single-run or
+    # best-of-N numbers are not comparable across rounds.
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_runs = 5
+    walls = []
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(pipe._prepare_batch, imgs, prompts, nprompts, key)
+        for i in range(n_runs):
+            t0 = time.perf_counter()
+            prepared = fut.result()
+            if i + 1 < n_runs:
+                fut = ex.submit(
+                    pipe._prepare_batch, imgs, prompts, nprompts, key
+                )
+            latents, _ = pipe._run_batch(prepared, None, False, key)
+            _fetch(latents)
+            walls.append(time.perf_counter() - t0)
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
+    med = sorted(walls)[len(walls) // 2]
+    stats = {
+        "runs": n_runs,
+        "batch_walls_s": [round(w, 3) for w in walls],
+        "median_batch_s": round(med, 3),
+        "spread_pct": round(100.0 * (max(walls) - min(walls)) / med, 1),
+    }
+    return FRAMES / med, stats
 
 
 def _wait_for_device(max_wait_s: int = 1800, probe_interval: int = 60) -> bool:
@@ -253,10 +280,11 @@ def main():
     plain = bench_plain_loop()
     print(f"[bench] plain loop: {plain:.3f} kf/s ({time.perf_counter()-t0:.0f}s)",
           file=sys.stderr, flush=True)
-    attn_only = bench_pipeline(use_opt=False)
-    print(f"[bench] attention-only pipeline: {attn_only:.3f} kf/s",
+    attn_only, attn_stats = bench_pipeline(use_opt=False)
+    print(f"[bench] attention-only pipeline: {attn_only:.3f} kf/s "
+          f"(spread {attn_stats['spread_pct']}%)",
           file=sys.stderr, flush=True)
-    full = bench_pipeline(use_opt=True)
+    full, full_stats = bench_pipeline(use_opt=True)
     # Full-pipeline baseline, derived: the 0.65 proxy EXCLUDES the
     # reference's in-loop optimization, which the full pipeline runs.
     # The reference executes ~500 TFLOP of feature optimization per
@@ -277,17 +305,26 @@ def main():
                           "(EXACT cf+spatial+traj attention via auto key "
                           "cap on real-flow masks, 20-iter feature opt, "
                           "bg smoothing, 20 steps; GMFlow+EGNet forwards "
-                          "on device in the timed path) — vs_baseline is "
-                          "against the workload-matched A100 upper bound "
-                          "(attention proxy 0.65 kf/s + the reference's "
-                          "~500 TFLOP/batch in-loop optimization charged "
-                          "at A100 TF32 PEAK, i.e. the bound OVERSTATES "
-                          "the reference, so the ratio understates the "
-                          "speedup; raw ratios in the other fields)",
+                          "on device in the timed path; music.mp4 frames "
+                          "stride 5; median of 5 pipelined batches, "
+                          "prep overlapped with the previous batch's "
+                          "denoise as in the real runner) — vs_baseline "
+                          "is against the workload-matched A100 upper "
+                          "bound (attention proxy 0.65 kf/s + the "
+                          "reference's ~500 TFLOP/batch in-loop "
+                          "optimization charged at A100 TF32 PEAK, i.e. "
+                          "the bound OVERSTATES the reference, so the "
+                          "ratio understates the speedup; raw ratios in "
+                          "the other fields)",
                 "value": round(full, 4),
                 "unit": "keyframes/sec",
                 "vs_baseline": round(full / full_baseline, 3),
                 "full_baseline_upper_bound": round(full_baseline, 4),
+                "runs": full_stats["runs"],
+                "spread": {
+                    "full": full_stats,
+                    "attention_only": attn_stats,
+                },
                 # vs the raw attention-only proxy, which EXCLUDES the
                 # in-loop Adam optimization this workload runs:
                 "vs_attention_proxy": round(

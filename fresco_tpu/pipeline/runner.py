@@ -436,41 +436,76 @@ class FrescoPipeline:
         a_prompt = cfg.a_prompt if cfg.a_prompt is not None else a_prompt
         n_prompt = cfg.n_prompt if cfg.n_prompt is not None else n_prompt
 
-        record = None
-        prev_imgs: list[np.ndarray] = []
-        prev_prompts: list[str] = []
-        rng = jax.random.key(cfg.seed)
+        # Per-batch inputs are fully input-derived: the anchor frames a
+        # propagation batch prepends are the first OVERALL keyframe and
+        # the previous batch's last keyframe — input frames, not
+        # translated outputs (run_fresco.py:262-265) — so batch k+1's
+        # prep (upload, prompts, detector, GMFlow/EGNet, mapping build,
+        # attention params) has no dependency on batch k's result and
+        # can run while batch k's denoise scan owns the device.  Only
+        # the latent record crosses batches (pipe_FRESCO.py:175-179),
+        # and only _run_batch consumes it.
+        extra = dict(cfg.extra_prompts)
+        batch_imgs: list[list[np.ndarray]] = []
+        batch_prompts: list[list[str]] = []
         for batch_ind, sub in enumerate(sublists):
-            t0 = time.time()
-            propagation = batch_ind > 0
-            extra = dict(cfg.extra_prompts)
-            imgs = ([*prev_imgs] if propagation else []) + [frames[i] for i in sub]
-            prompts = ([*prev_prompts] if propagation else []) + [
-                cfg.prompt + a_prompt + extra.get(i, "") for i in sub
-            ]
-            latents = self._translate_batch(
-                imgs, prompts, [n_prompt] * len(imgs), record, propagation, rng
-            )
-            from fresco_tpu.utils.guards import check_finite
+            cur = [frames[i] for i in sub]
+            cur_p = [cfg.prompt + a_prompt + extra.get(i, "") for i in sub]
+            if batch_ind == 0:
+                batch_imgs.append(cur)
+                batch_prompts.append(cur_p)
+            else:
+                batch_imgs.append(
+                    [batch_imgs[0][0], batch_imgs[batch_ind - 1][-1]] + cur
+                )
+                batch_prompts.append(
+                    [batch_prompts[0][0], batch_prompts[batch_ind - 1][-1]]
+                    + cur_p
+                )
 
-            check_finite(f"batch{batch_ind}_latents", latents[0])
-            record = latents[1]
-            with phase_timer(self.phases, "vae_decode"):
-                images = unit_range_to_uint8(
-                    self._decode_jit(b.params, latents[0])
-                )
-            bias = 2 if propagation else 0
-            for ind, num in enumerate(sub):
-                Image.fromarray(images[ind + bias]).save(
-                    os.path.join(cfg.save_path, "keys", "%04d.png" % num)
-                )
-            prev_imgs = [imgs[0], imgs[-1]]
-            prev_prompts = [prompts[0], prompts[-1]]
-            if verbose:
-                print(
-                    f"[fresco_tpu] batch {batch_ind+1}/{len(sublists)}: "
-                    f"{len(sub)} keyframes in {time.time()-t0:.1f}s"
-                )
+        from concurrent.futures import ThreadPoolExecutor
+
+        from fresco_tpu.utils.guards import check_finite
+
+        record = None
+        rng = jax.random.key(cfg.seed)
+        prep_ex = ThreadPoolExecutor(max_workers=1)
+
+        def prep(k):
+            return self._prepare_batch(
+                batch_imgs[k], batch_prompts[k],
+                [n_prompt] * len(batch_imgs[k]), rng,
+            )
+
+        try:
+            fut = prep_ex.submit(prep, 0)
+            for batch_ind, sub in enumerate(sublists):
+                t0 = time.time()
+                propagation = batch_ind > 0
+                prepared = fut.result()
+                if batch_ind + 1 < len(sublists):
+                    fut = prep_ex.submit(prep, batch_ind + 1)
+                latents = self._run_batch(prepared, record, propagation, rng)
+                check_finite(f"batch{batch_ind}_latents", latents[0])
+                record = latents[1]
+                with phase_timer(self.phases, "vae_decode"):
+                    images = unit_range_to_uint8(
+                        self._decode_jit(b.params, latents[0])
+                    )
+                bias = 2 if propagation else 0
+                for ind, num in enumerate(sub):
+                    Image.fromarray(images[ind + bias]).save(
+                        os.path.join(cfg.save_path, "keys", "%04d.png" % num)
+                    )
+                if verbose:
+                    print(
+                        f"[fresco_tpu] batch {batch_ind+1}/{len(sublists)}: "
+                        f"{len(sub)} keyframes in {time.time()-t0:.1f}s"
+                    )
+        finally:
+            # a denoise/decode failure must not hang on queued prep work
+            # draining over the tunnel (same policy as blend_video)
+            prep_ex.shutdown(wait=False, cancel_futures=True)
         if verbose:
             print("[fresco_tpu] " + self.phases.report())
         return keys
@@ -542,6 +577,22 @@ class FrescoPipeline:
         return jax.device_put(x, replicated(self.mesh))
 
     def _translate_batch(self, imgs, prompts, n_prompts, record, propagation, rng):
+        """Prep + denoise for one batch, serially.  The pipelined path
+        (translate_keyframes) calls _prepare_batch on a prep thread and
+        _run_batch on the main thread instead, so batch k+1's prep
+        overlaps batch k's denoise scan."""
+        prepared = self._prepare_batch(imgs, prompts, n_prompts, rng)
+        return self._run_batch(prepared, record, propagation, rng)
+
+    def _prepare_batch(self, imgs, prompts, n_prompts, rng):
+        """Everything the sampler needs that does NOT depend on earlier
+        batches' outputs: frame upload, prompt encoding, control signal,
+        inter/intra-frame param prep, attention params.  Safe to run for
+        batch k+1 while batch k's denoise scan owns the device — the
+        host work (detector, mapping compaction, fetches) overlaps the
+        scan, and the small device programs slot in behind it.  The
+        reference pays all of this serially between batches
+        (run_fresco.py:199-234)."""
         cfg = self.config
         b = self.bundle
         sync = jax.block_until_ready if self.sync_phases else (lambda x: x)
@@ -601,13 +652,28 @@ class FrescoPipeline:
                 correlations=correlations if cfg.use_fresco_opt else None,
             )
 
+        return {
+            "frames_unit": frames_unit,
+            "prompt_embeds": prompt_embeds,
+            "edges": edges,
+            "fresco_state": fresco_state,
+        }
+
+    def _run_batch(self, prepared, record, propagation, rng):
+        """The denoise scan on a _prepare_batch result (latent record
+        from the previous batch enters here — the only inter-batch data
+        dependency, pipe_FRESCO.py:175-179)."""
+        cfg = self.config
+        b = self.bundle
+        sync = jax.block_until_ready if self.sync_phases else (lambda x: x)
         sampler_cfg = dataclasses.replace(
             self._base_sampler_cfg, propagation_mode=propagation
         )
         cond_scale = jnp.full((cfg.num_inference_steps,), cfg.cond_scale)
         with phase_timer(self.phases, "denoise_loop"):
             latents, record_out = sync(self._sample_jit(
-                b.params, frames_unit, prompt_embeds, edges, cond_scale,
-                fresco_state, record, rng, sampler_cfg,
+                b.params, prepared["frames_unit"], prepared["prompt_embeds"],
+                prepared["edges"], cond_scale,
+                prepared["fresco_state"], record, rng, sampler_cfg,
             ))
         return latents, record_out

@@ -10,6 +10,7 @@ dispatch.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 
@@ -17,9 +18,19 @@ import jax
 
 
 class PhaseTimes:
+    """Accumulated per-phase wall times.  Thread-safe: the pipelined
+    keyframe runner times batch k+1's prep (prep thread) concurrently
+    with batch k's denoise (main thread)."""
+
     def __init__(self):
         self.times: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
+
+    def add(self, name: str, dt: float) -> None:
+        with self._lock:
+            self.times[name] += dt
+            self.counts[name] += 1
 
     def report(self) -> str:
         lines = [
@@ -42,8 +53,7 @@ def phase_timer(phases: PhaseTimes, name: str, sync: bool = True):
                 jax.block_until_ready(jax.device_put(0))
             except Exception:
                 pass
-        phases.times[name] += time.perf_counter() - t0
-        phases.counts[name] += 1
+        phases.add(name, time.perf_counter() - t0)
 
 
 @contextlib.contextmanager

@@ -69,6 +69,7 @@ def test_full_pipeline_tiny(tmp_path):
     def _boom(*a, **k):  # pragma: no cover - failure path
         raise AssertionError("translate must be skipped on resume")
 
-    pipe._translate_batch = _boom
+    pipe._prepare_batch = _boom
+    pipe._run_batch = _boom
     keys2 = pipe.translate_keyframes(verbose=False, reuse=True)
     assert keys2 == keys
