@@ -132,7 +132,9 @@ def build_models(
         params = _maybe_apply_lora(params, config)
 
     tokenizer = make_tokenizer(
-        config.sd_path if os.path.isdir(str(config.sd_path)) else None,
+        _local_ckpt_dir(
+            config.sd_path, os.path.dirname(str(config.gmflow_path)) or "."
+        ),
         ccfg.vocab_size,
     )
 
@@ -216,8 +218,30 @@ def _build_saliency(config: FrescoConfig):
     return lambda imgs: saliency_background_mask(model, params, imgs)
 
 
+def _local_ckpt_dir(spec, ckpt_dir: str) -> str | None:
+    """Resolve a checkpoint 'path' that may be a HuggingFace repo id
+    (the config defaults: 'stabilityai/sd-vae-ft-mse',
+    'runwayml/stable-diffusion-v1-5', ...) to the local directory
+    scripts/fetch_weights.py downloads into: the path itself if it is a
+    directory, else <ckpt_dir>/<repo basename>, else ./<repo basename>.
+    Returns None when nothing exists locally — the caller keeps random
+    weights (offline mode)."""
+    if not spec:
+        return None
+    p = str(spec)
+    if os.path.isdir(p):
+        return p
+    base = os.path.basename(p.rstrip("/"))
+    for cand in (os.path.join(ckpt_dir, base), os.path.join(".", base)):
+        if os.path.isdir(cand):
+            return cand
+    return None
+
+
 def _maybe_load_pretrained(params, config, ucfg, vcfg, ccfg):
-    """Convert local torch/diffusers checkpoints if the paths exist."""
+    """Convert local torch/diffusers checkpoints if the paths exist
+    (repo-id config values resolve to the fetch_weights.py layout via
+    _local_ckpt_dir)."""
     from fresco_tpu.models import convert as C
 
     def find(base, sub, names):
@@ -229,19 +253,23 @@ def _maybe_load_pretrained(params, config, ucfg, vcfg, ccfg):
                 return p
         return None
 
-    sd_dir = str(config.sd_path)
+    ckpt_dir = os.path.dirname(str(config.gmflow_path)) or "."
+    sd_dir = _local_ckpt_dir(config.sd_path, ckpt_dir) or str(config.sd_path)
+    vae_dir = _local_ckpt_dir(config.vae_path, ckpt_dir)
+    cn_dir = _local_ckpt_dir(config.controlnet_path, ckpt_dir) or \
+        _local_ckpt_dir(f"sd-controlnet-{config.controlnet_type}", ckpt_dir)
     specs = [
         ("unet", find(sd_dir, "unet", ["diffusion_pytorch_model.safetensors",
                                        "diffusion_pytorch_model.bin"]),
          lambda sd: C.convert_unet(sd, ucfg)),
-        ("vae", find(config.vae_path or sd_dir, "" if config.vae_path else "vae",
+        ("vae", find(vae_dir or sd_dir, "" if vae_dir else "vae",
                      ["diffusion_pytorch_model.safetensors",
                       "diffusion_pytorch_model.bin"]),
          lambda sd: C.convert_vae(sd, vcfg)),
         ("text", find(sd_dir, "text_encoder", ["model.safetensors",
                                                "pytorch_model.bin"]),
          lambda sd: C.convert_clip_text(sd, ccfg)),
-        ("controlnet", find(config.controlnet_path, "",
+        ("controlnet", find(cn_dir, "",
                             ["diffusion_pytorch_model.safetensors",
                              "diffusion_pytorch_model.bin"]),
          lambda sd: C.convert_controlnet(sd, ucfg)),
