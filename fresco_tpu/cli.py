@@ -13,7 +13,7 @@ from fresco_tpu.core.config import load_config
 
 
 def run_config(config, tiny: bool = False, keyframes_only: bool = False,
-               reuse_synthesis: bool = False):
+               reuse_synthesis: bool = False, sync_phases: bool = False):
     """Run one config end-to-end: keyframe translation, then (when
     ``config.run_ebsynth``) propagation + blending + the BASELINE.md
     consistency metrics.  Returns the metrics report dict (also written
@@ -30,6 +30,9 @@ def run_config(config, tiny: bool = False, keyframes_only: bool = False,
 
     t0 = time.time()
     pipe = FrescoPipeline(config, tiny=tiny)
+    # profiling runs block on each phase's outputs so the phase table
+    # reads true device time, not async-dispatch time (runner.py:385)
+    pipe.sync_phases = sync_phases
     print(f"[fresco_tpu] model build: {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
     keys = pipe.translate_keyframes(reuse=reuse_synthesis)

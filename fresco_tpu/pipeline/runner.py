@@ -38,7 +38,7 @@ from fresco_tpu.ops.image import resize_image, unit_range_to_uint8
 from fresco_tpu.pipeline import prepare
 from fresco_tpu.pipeline.keyframes import select_keyframes
 from fresco_tpu.pipeline.text import encode_prompts, make_tokenizer
-from fresco_tpu.utils.profiling import phase_timer
+from fresco_tpu.utils.profiling import force_fetch, phase_timer
 
 try:
     import cv2
@@ -623,7 +623,7 @@ class FrescoPipeline:
         (run_fresco.py:199-234)."""
         cfg = self.config
         b = self.bundle
-        sync = jax.block_until_ready if self.sync_phases else (lambda x: x)
+        sync = force_fetch if self.sync_phases else (lambda x: x)
         # upload frames ONCE as uint8 (4x less host->device traffic — the
         # tunnel transfer dominated otherwise) and convert on device
         with phase_timer(self.phases, "upload_frames"):
@@ -693,7 +693,7 @@ class FrescoPipeline:
         dependency, pipe_FRESCO.py:175-179)."""
         cfg = self.config
         b = self.bundle
-        sync = jax.block_until_ready if self.sync_phases else (lambda x: x)
+        sync = force_fetch if self.sync_phases else (lambda x: x)
         sampler_cfg = dataclasses.replace(
             self._base_sampler_cfg, propagation_mode=propagation
         )

@@ -5,9 +5,11 @@ gradients of the two propagated candidates by the selection mask and
 solve min ||w∇x − w g||² + ||x − blend||² per Lab channel.  The
 reference builds an explicit sparse system and runs CPU ``lsqr`` per
 frame (SURVEY.md #32, a CPU hot spot); here the normal equations
-(w²∇ᵀ∇ + I) x = w²∇ᵀg + blend are solved matrix-free with
-``jax.scipy.sparse.linalg.cg`` — the operator is two shifts and adds,
-fully fused on the VPU, batched over the 3 channels at once.
+(w²∇ᵀ∇ + I) x = w²∇ᵀg + blend are solved in CLOSED FORM by DCT-II
+diagonalization of the Neumann Laplacian — exact in one forward +
+inverse transform pair, batched over the 3 channels at once (the
+earlier matrix-free CG formulation is superseded; see
+``screened_poisson``).
 
 Gradient convention matches the reference (poisson_fusion.py:64-70):
 gx[i,j] = x[i,j] − x[i+1,j] (rows), gy[i,j] = x[i,j] − x[i,j+1] (cols),
@@ -52,17 +54,34 @@ def screened_poisson(
     weights: jnp.ndarray,
     iters: int = 100,
 ):
-    """Solve (w²∇ᵀ∇ + I)x = w²∇ᵀg + blend.  blend [H,W,3] (mean-centered
-    per channel by caller), gx [H-1,W,3], gy [H,W-1,3], weights [3]."""
+    """Solve (w²∇ᵀ∇ + I)x = w²∇ᵀg + blend EXACTLY via DCT
+    diagonalization.  blend [H,W,3] (mean-centered per channel by
+    caller), gx [H-1,W,3], gy [H,W-1,3], weights [3].
+
+    ``_grad``/``_grad_T`` form the 5-point Neumann Laplacian, whose 1-D
+    factors tridiag(−1,2,−1)-with-reflecting-corners are diagonalized by
+    the DCT-II basis with eigenvalues 2−2cos(πk/n).  The screened system
+    is therefore solved in closed form: one 2-D DCT, a pointwise divide
+    by (1 + w²λ), one inverse DCT — the true optimum of the same
+    least-squares objective the reference approximates with CPU ``lsqr``
+    (poisson_fusion.py:54-93), at two FFT passes instead of ``iters``
+    CG sweeps contending with patch synthesis for the device (the r5
+    e2e measured 1,199 s of poisson queue+compute inside the
+    propagation wall).  ``iters`` is kept for API compatibility and
+    ignored."""
+    del iters
     h, w, _ = blend.shape
     w2 = (weights**2)[None, None, :]
 
-    def A(x):
-        ggx, ggy = _grad(x)
-        return _grad_T(w2 * ggx, w2 * ggy, h, w) + x
-
     b = _grad_T(w2 * gx, w2 * gy, h, w) + blend
-    x, _ = jax.scipy.sparse.linalg.cg(A, b, x0=blend, maxiter=iters, tol=1e-6)
+    lam = (
+        (2.0 - 2.0 * jnp.cos(jnp.pi * jnp.arange(h) / h))[:, None, None]
+        + (2.0 - 2.0 * jnp.cos(jnp.pi * jnp.arange(w) / w))[None, :, None]
+    )
+    from jax.scipy.fft import dctn, idctn
+
+    spec = dctn(b, axes=(0, 1), norm="ortho")
+    x = idctn(spec / (1.0 + w2 * lam), axes=(0, 1), norm="ortho")
     return x
 
 

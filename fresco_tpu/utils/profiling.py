@@ -40,6 +40,22 @@ class PhaseTimes:
         return "phase times:\n" + "\n".join(lines)
 
 
+def force_fetch(x):
+    """Return ``x`` after forcing a real device round-trip on its first
+    array leaf.  ``jax.block_until_ready`` resolves WITHOUT waiting on
+    the remote axon backend (PERF.md round-5 methodology trap), so
+    truthful phase attribution needs an actual one-element fetch; all
+    leaves of a single jitted call complete together, so one leaf
+    suffices."""
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(leaf.ravel()[0])
+            break
+    return x
+
+
 @contextlib.contextmanager
 def phase_timer(phases: PhaseTimes, name: str, sync: bool = True):
     """Time a phase; block on device completion so async dispatch does not

@@ -51,6 +51,16 @@ STRIP_ROWS = 16    # covers any 5-row patch window at 8-aligned starts
 STRIP_LANES = 256  # covers any 5*CP=80-lane window at 128-aligned starts
 
 
+def _timed_fetch(fn, iters, reps=3):
+    """Median of `reps` timed runs, each normalized by the scan length."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append((time.perf_counter() - t0) / iters)
+    return sorted(times)[len(times) // 2]
+
+
 def bench_xla_row_gather(sh, sw, n, iters, key):
     """(A) the shipped primitive: one wide row-gather of the pre-stacked
     patch table per candidate set."""
@@ -58,9 +68,12 @@ def bench_xla_row_gather(sh, sw, n, iters, key):
     idx0 = jax.random.randint(key, (n,), 0, sh * sw, jnp.int32)
 
     @jax.jit
-    def run(idx):
+    def run(idx, tab):
+        # tab enters as an argument — a closed-over device array would
+        # be inlined as a 320 MB HLO constant and overflow the remote
+        # compile tunnel's request limit (HTTP 413)
         def body(ix, _):
-            g = jnp.take(table, ix, axis=0)
+            g = jnp.take(tab, ix, axis=0)
             # serial dependency defeats CSE: next indices derive from data
             nxt = (ix + g[:, 0].astype(jnp.int32)) % (sh * sw)
             return nxt, g[0, 0]
@@ -68,11 +81,12 @@ def bench_xla_row_gather(sh, sw, n, iters, key):
         ix, outs = jax.lax.scan(body, idx, None, length=iters)
         return outs
 
-    run(idx0).block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(run(idx0))
-    dt = (time.perf_counter() - t0) / iters
-    return dt
+    # warm-up MUST fetch: on the axon tunnel block_until_ready returns
+    # without waiting, so a block_until_ready warm-up lets the timed
+    # fetch absorb the ~20 s compile (the round-5 16,232 ns/row red
+    # herring — /tmp/probe_gather_variants.py isolated it)
+    np.asarray(run(idx0, table))
+    return _timed_fetch(lambda: np.asarray(run(idx0, table)), iters)
 
 
 def _strip_kernel(iters: int, n_blk: int, sh: int, swc: int):
@@ -148,10 +162,8 @@ def bench_pallas_strip_dma(sh, sw, n, iters, key, depth=8, interpret=False):
         interpret=interpret,
     )
     fn = jax.jit(lambda y, x, im: run(y, x, im))
-    fn(ys, xs, img).block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(fn(ys, xs, img))
-    return (time.perf_counter() - t0) / iters
+    np.asarray(fn(ys, xs, img))  # warm with a real fetch (see arm A)
+    return _timed_fetch(lambda: np.asarray(fn(ys, xs, img)), iters)
 
 
 def main():

@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--reuse", action="store_true",
                     help="resume: reuse cached interval synthesis + flows "
                          "(reference -ne)")
+    ap.add_argument("--sync-phases", action="store_true",
+                    help="block on each phase's outputs so the phase "
+                         "table reads true device time (profiling runs; "
+                         "adds one host sync per phase)")
     args = ap.parse_args()
 
     from fresco_tpu.cli import run_config
@@ -40,7 +44,8 @@ def main():
 
     t0 = time.time()
     report = run_config(cfg, keyframes_only=args.keyframes_only,
-                        reuse_synthesis=args.reuse)
+                        reuse_synthesis=args.reuse,
+                        sync_phases=args.sync_phases)
     wall = time.time() - t0
     print(f"[e2e] TOTAL wall {wall:.1f}s ({wall / 60:.1f} min)")
     if report is not None:

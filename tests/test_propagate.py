@@ -120,6 +120,50 @@ def test_histogram_blend_stats():
     )
 
 
+def test_screened_poisson_matches_dense_solve():
+    """The DCT-diagonalized solve must equal the dense normal-equations
+    solution (w²∇ᵀ∇ + I)x = w²∇ᵀg + blend on a small grid — validating
+    the Neumann-Laplacian eigenbasis (2−2cos(πk/n)) including the
+    boundary rows the reference's lsqr system encodes implicitly."""
+    from fresco_tpu.propagate.poisson import screened_poisson
+
+    h, w = 8, 6
+    rng = np.random.default_rng(3)
+    blend = rng.standard_normal((h, w, 3)).astype(np.float32)
+    gx = rng.standard_normal((h - 1, w, 3)).astype(np.float32)
+    gy = rng.standard_normal((h, w - 1, 3)).astype(np.float32)
+    weights = np.array([2.5, 0.5, 0.5], np.float32)
+
+    # dense ∇ per channel: D stacks row-diffs then col-diffs over vec(x)
+    n = h * w
+    rows = []
+    for i in range(h - 1):
+        for j in range(w):
+            r = np.zeros(n)
+            r[i * w + j] = 1.0
+            r[(i + 1) * w + j] = -1.0
+            rows.append(r)
+    for i in range(h):
+        for j in range(w - 1):
+            r = np.zeros(n)
+            r[i * w + j] = 1.0
+            r[i * w + j + 1] = -1.0
+            rows.append(r)
+    D = np.stack(rows)
+
+    out = np.asarray(screened_poisson(
+        jnp.asarray(blend), jnp.asarray(gx), jnp.asarray(gy),
+        jnp.asarray(weights),
+    ))
+    for c in range(3):
+        w2 = float(weights[c]) ** 2
+        A = w2 * (D.T @ D) + np.eye(n)
+        g = np.concatenate([gx[..., c].ravel(), gy[..., c].ravel()])
+        b = w2 * (D.T @ g) + blend[..., c].ravel()
+        x = np.linalg.solve(A, b).reshape(h, w)
+        np.testing.assert_allclose(out[..., c], x, atol=1e-4)
+
+
 def test_poisson_fusion_identity():
     """With both candidates equal to the blend image, the screened solve
     must return (approximately) the input."""
