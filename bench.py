@@ -30,9 +30,18 @@ RES = 512
 
 
 def _fetch(x):
+    """Force true completion with a ONE-ELEMENT fetch: the element is the
+    output of a dependent device program, so fetching it waits for the
+    whole computation — without the ~0.2 s full-array pull over the
+    tunnel (4 MB latents at ~22 MB/s), which is measurement apparatus,
+    not workload (the real runner decodes on device; the reference keeps
+    latents on GPU too).  NB block_until_ready resolves without waiting
+    on the axon backend (PERF.md round-5), hence a fetch."""
     import numpy as np
 
-    return np.asarray(x).ravel()[0]  # host fetch forces true completion
+    if hasattr(x, "ravel") and not isinstance(x, np.ndarray):
+        return np.asarray(x.ravel()[0])
+    return np.asarray(x).ravel()[0]
 
 
 def bench_plain_loop():
@@ -169,9 +178,16 @@ def bench_pipeline(use_opt: bool, include_aux_cost: bool | None = None):
             jax.random.key(1), jnp.zeros((1, RES // 2, RES // 2, 3))
         )
         # params as ARGUMENTS: closure constants get baked into the
-        # remote-compile upload and exceed its size limit (HTTP 413)
-        sal_cost = jax.jit(lambda p, x: egnet.apply(p, x)[2][-1])
-        gm_cost = jax.jit(lambda p, a, b: pipe.bundle.gmflow.apply(p, a, b))
+        # remote-compile upload and exceed its size limit (HTTP 413).
+        # Both forwards run at config.aux_dtype (bf16 default) exactly
+        # like the runner's interframe/saliency paths.
+        from fresco_tpu.pipeline.runner import _aux_caster
+
+        cast = _aux_caster(cfg.aux_dtype)
+        sal_cost = jax.jit(lambda p, x: egnet.apply(cast(p), cast(x))[2][-1])
+        gm_cost = jax.jit(
+            lambda p, a, b: pipe.bundle.gmflow.apply(cast(p), cast(a), cast(b))
+        )
 
         def saliency_fn(imgs):
             # EGNet runs at half-res like the reference detector input
@@ -305,7 +321,8 @@ def main():
                           "(EXACT cf+spatial+traj attention via auto key "
                           "cap on real-flow masks, 20-iter feature opt, "
                           "bg smoothing, 20 steps; GMFlow+EGNet forwards "
-                          "on device in the timed path; music.mp4 frames "
+                          "on device in the timed path at the runner's "
+                          "aux_dtype default bf16; music.mp4 frames "
                           "stride 5; median of 5 pipelined batches, "
                           "prep overlapped with the previous batch's "
                           "denoise as in the real runner) — vs_baseline "

@@ -89,6 +89,14 @@ class FrescoConfig:
     # dtype for gram matmuls AND stored reference correlations (threaded
     # into intraframe_params so "float32" gives strict end-to-end parity)
     gram_dtype: str = "bfloat16"
+    # dtype for the auxiliary model forwards (GMFlow interframe flows,
+    # EGNet saliency).  The reference runs both fp32 on CUDA
+    # (run_fresco.py:91-98); on TPU the MXU makes bf16 ~2x, and the
+    # flow-determining reductions (correlation softmax + expected
+    # coordinates) stay f32 inside GMFlow regardless, so masks agree to
+    # tolerance (tests/test_aux_dtype.py).  "float32" = strict parity.
+    # Consistency METRICS always run f32 (runner.evaluate_consistency).
+    aux_dtype: str = "bfloat16"
     # cross-frame attention valid-key compaction: "auto" sizes the cap
     # from the measured valid-key count per batch (never truncates —
     # exact reference semantics, diffusion_hacked.py:225-247); a number

@@ -224,14 +224,21 @@ def saliency_input(imgs_rgb: np.ndarray) -> jnp.ndarray:
     return resize_bilinear(jnp.asarray(x), (h // 2, w // 2))
 
 
-def saliency_background_mask(egnet: EGNet, params, imgs_rgb, dilate_kernel=7):
+def saliency_background_mask(egnet: EGNet, params, imgs_rgb, dilate_kernel=7,
+                             dtype=None):
     """Background mask = 1 - dilate(sigmoid(final score))
-    (reference src/utils.py:95-102).  Returns [F, h/2, w/2, 1]."""
+    (reference src/utils.py:95-102).  Returns [F, h/2, w/2, 1] float32.
+
+    ``dtype``: optional compute dtype for the EGNet forward (params must
+    already be cast to match — config.aux_dtype); sigmoid + dilation
+    run f32 either way."""
     from fresco_tpu.ops.morphology import dilate
 
     x = saliency_input(np.asarray(imgs_rgb))
+    if dtype is not None:
+        x = jnp.asarray(x, dtype)
     _, _, up_score = egnet.apply(params, x)
-    sal = jax.nn.sigmoid(up_score[-1])
+    sal = jax.nn.sigmoid(up_score[-1].astype(jnp.float32))
     return 1.0 - dilate(sal, dilate_kernel)
 
 

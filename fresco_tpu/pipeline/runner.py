@@ -146,6 +146,25 @@ def build_models(
     )
 
 
+_AUX_DTYPES = {"bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def _aux_caster(aux_dtype: str):
+    """Pytree/array caster for the aux-model forwards (config.aux_dtype):
+    identity for float32, float-leaf downcast otherwise.  Params stay
+    f32 masters in the bundle; the cast happens in-graph (bandwidth
+    noise next to the forward it feeds)."""
+    dt = _AUX_DTYPES.get(aux_dtype)
+    if dt is None:
+        return lambda tree: tree
+    cast_leaf = lambda t: (
+        t.astype(dt)
+        if hasattr(t, "dtype") and jnp.issubdtype(t.dtype, jnp.floating)
+        else t
+    )
+    return lambda tree: jax.tree.map(cast_leaf, tree)
+
+
 def _build_detector(config: FrescoConfig, tiny: bool):
     """Control-signal detector by type, with weight-availability fallback
     (reference falls back to hed, run_fresco.py:60-62; here canny is the
@@ -215,7 +234,10 @@ def _build_saliency(config: FrescoConfig):
 
     model = EGNet()
     params = {"params": convert_egnet(C.load_torch_state_dict(config.sod_path))}
-    return lambda imgs: saliency_background_mask(model, params, imgs)
+    params = _aux_caster(config.aux_dtype)(params)
+    return lambda imgs: saliency_background_mask(
+        model, params, imgs, dtype=_AUX_DTYPES.get(config.aux_dtype)
+    )
 
 
 def _local_ckpt_dir(spec, ckpt_dir: str) -> str | None:
@@ -386,9 +408,16 @@ class FrescoPipeline:
 
     # --- jittable param-prep wrappers -------------------------------------
     def _interframe(self, params, frames_255):
-        flow_fn = self.bundle.flow_fn or (
-            lambda a, b: self.bundle.gmflow.apply(params["gmflow"], a, b)
-        )
+        flow_fn = self.bundle.flow_fn
+        if flow_fn is None:
+            gm = self.bundle.gmflow
+            cast = _aux_caster(self.config.aux_dtype)
+
+            def flow_fn(a, b):
+                return gm.apply(
+                    cast(params["gmflow"]), cast(a), cast(b)
+                ).astype(jnp.float32)
+
         return prepare.interframe_params(
             flow_fn, frames_255, photo_thresh=self.config.photo_occ_thresh
         )

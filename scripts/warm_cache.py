@@ -91,15 +91,13 @@ def main():
             .astype(np.uint8)
             for _ in range(n)
         ]
-    gpath = str(cfg.gmflow_path)
-    if not (gpath and os.path.exists(gpath)):
-        # no GMFlow checkpoint: random-weight flows give degenerate cf
-        # masks (wrong auto-cap program) and force a full-res GMFlow
-        # compile a real offline run would also skip — same Farneback
-        # fallback as bench.py / evaluate_consistency
-        from fresco_tpu.utils.classic_flow import make_flow_fn
-
-        pipe.bundle.flow_fn = make_flow_fn(imgs)
+    # Flow source: leave the bundle's own (GMFlow — checkpoint weights
+    # when present, the init weights otherwise), because that is exactly
+    # what cli.run_config's keyframe path executes: warmed programs must
+    # BE the run's programs, including the full-res GMFlow forward and
+    # the auto-cap attention program its masks select.  (An earlier
+    # Farneback substitution here primed a different interframe program
+    # than the offline run compiles.)
 
     prompts = ["warmup"] * n
     key = jax.random.key(0)
