@@ -118,6 +118,30 @@ def _bench_frames():
     ]
 
 
+def make_cost_parity_flow_fn(gm_cost, gm_params, fb_flow):
+    """flow_fn whose VALUES are fb_flow's (realistic Farneback masks)
+    but whose device COST includes the GMFlow forward, for workload
+    parity with the reference (run_fresco.py:207-215).
+
+    flow_fn is traced inside the jitted _interframe, so a discarded
+    ``gm_cost(...)`` call would be dead-code-eliminated at jaxpr DCE and
+    the GMFlow forward would never execute (round-5 review finding —
+    the r5 "beats the raw proxy" row was first measured with the GMFlow
+    cost silently DCE'd; tests/test_bench_workload.py guards this).
+    The sub-ulp residual keeps a real data dependency XLA cannot
+    remove: gm flows are O(1e2) at most, so gm*1e-30 <= 1e-28 is far
+    below the f32 ulp of any nonzero Farneback flow value — the add is
+    numerically an exact identity, but the compiler must run the
+    forward."""
+    import jax.numpy as jnp
+
+    def flow_fn(a, b):
+        gm = gm_cost(gm_params, a, b)
+        return fb_flow(a, b) + gm.astype(jnp.float32) * 1e-30
+
+    return flow_fn
+
+
 def bench_pipeline(use_opt: bool, include_aux_cost: bool | None = None):
     """The real FrescoPipeline batch path.  ``use_opt=False`` is the
     attention-guidance-only configuration — the exact workload of the
@@ -198,10 +222,9 @@ def bench_pipeline(use_opt: bool, include_aux_cost: bool | None = None):
             # the timed fetch; output unused (random weights)
             return constant_sal(imgs)
 
-        def flow_fn(a, b):
-            # device cost parity; mask values from Farneback below
-            gm_cost(pipe.bundle.params["gmflow"], a, b)
-            return fb_flow(a, b)
+        flow_fn = make_cost_parity_flow_fn(
+            gm_cost, pipe.bundle.params["gmflow"], fb_flow
+        )
 
         pipe.bundle.saliency_fn = saliency_fn
         pipe.bundle.flow_fn = flow_fn

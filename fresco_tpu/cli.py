@@ -31,7 +31,10 @@ def run_config(config, tiny: bool = False, keyframes_only: bool = False,
     t0 = time.time()
     pipe = FrescoPipeline(config, tiny=tiny)
     # profiling runs block on each phase's outputs so the phase table
-    # reads true device time, not async-dispatch time (runner.py:385)
+    # reads true device time, not async-dispatch time; also disables the
+    # prep/denoise overlap in translate_keyframes — an overlapped prep
+    # timer would block behind the in-flight scan on the single device
+    # stream and report queue wait as phase cost (runner.py:385)
     pipe.sync_phases = sync_phases
     print(f"[fresco_tpu] model build: {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()

@@ -68,6 +68,11 @@ def run_full_sampler(
         opt_iters=opt_iters,
         use_saliency=True,
         dtype=dtype,  # float64 default: see module docstring
+        # identity aux cast: the default bf16 aux forwards would inject
+        # rounding that can flip occlusion-threshold pixels DIFFERENTLY
+        # between the sharded and single-device compilations, defeating
+        # the f64-exactness premise of the sharded==single check
+        aux_dtype="float32",
         prompt="a smoke test",
     )
     t0 = time.time()

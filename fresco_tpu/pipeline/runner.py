@@ -151,9 +151,13 @@ _AUX_DTYPES = {"bfloat16": jnp.bfloat16, "float16": jnp.float16}
 
 def _aux_caster(aux_dtype: str):
     """Pytree/array caster for the aux-model forwards (config.aux_dtype):
-    identity for float32, float-leaf downcast otherwise.  Params stay
-    f32 masters in the bundle; the cast happens in-graph (bandwidth
-    noise next to the forward it feeds)."""
+    identity for float32, float-leaf downcast otherwise.  GMFlow params
+    stay f32 masters in the bundle and are cast in-graph inside
+    _interframe (bandwidth noise next to the forward they feed); EGNet
+    params are the one exception — _build_saliency casts them ONCE at
+    build time because its eager forward would otherwise re-dispatch a
+    per-leaf cast of a ResNet-50 tree on every call.  Consequence:
+    changing aux_dtype requires a fresh pipeline (see set_config)."""
     dt = _AUX_DTYPES.get(aux_dtype)
     if dt is None:
         return lambda tree: tree
@@ -336,6 +340,13 @@ def _maybe_apply_lora(params, config):
 class FrescoPipeline:
     """run_fresco-equivalent orchestration."""
 
+    # block on each phase's outputs so phase times are real device times
+    # instead of async-dispatch times, and run batch prep serially (no
+    # prep/denoise overlap) so timers can't absorb queued device work —
+    # off by default, enabled by the profiling benchmarks.  Class-level
+    # default: tests construct partial pipelines via object.__new__.
+    sync_phases = False
+
     @staticmethod
     def _make_sampler_cfg(config: FrescoConfig) -> SamplerConfig:
         gcfg = GuidanceConfig(
@@ -363,9 +374,12 @@ class FrescoPipeline:
         the sampler reads per batch (steps, warmup, guidance scale,
         attention/opt toggles, bg smoothing) is re-derived here; a
         changed step count just retraces on the next batch.  Fields that
-        alter the BUILT models — sd_path, lora_*, controlnet_type,
-        use_freeu, use_saliency, dtype — still require a fresh
-        FrescoPipeline (the WebUI's GlobalState tracks those)."""
+        alter the BUILT models or already-traced programs — sd_path,
+        lora_*, controlnet_type, use_freeu, use_saliency, dtype, and
+        aux_dtype (EGNet params are cast once at build and the aux
+        forwards' cast is baked into the cached _interframe trace) —
+        still require a fresh FrescoPipeline (the WebUI's GlobalState
+        tracks those)."""
         self.config = config
         self._base_sampler_cfg = self._make_sampler_cfg(config)
 
@@ -401,10 +415,6 @@ class FrescoPipeline:
         from fresco_tpu.utils.profiling import PhaseTimes
 
         self.phases = PhaseTimes()
-        # block on each phase's outputs so phase times are real device
-        # times instead of async-dispatch times (costs one host sync per
-        # phase — off by default, enabled by the profiling benchmarks)
-        self.sync_phases = False
 
     # --- jittable param-prep wrappers -------------------------------------
     def _interframe(self, params, frames_255):
@@ -413,10 +423,18 @@ class FrescoPipeline:
             gm = self.bundle.gmflow
             cast = _aux_caster(self.config.aux_dtype)
 
+            # f64 sharding-validation mode keeps flows at full precision
+            # (parallel/smoke.py: sub-ulp noise must not cross the
+            # occlusion/threshold discontinuities); all other modes
+            # upcast the aux-dtype forward's output to f32 for the
+            # threshold/mapping math downstream
+            flow_t = (jnp.float64 if self.config.dtype == "float64"
+                      else jnp.float32)
+
             def flow_fn(a, b):
                 return gm.apply(
                     cast(params["gmflow"]), cast(a), cast(b)
-                ).astype(jnp.float32)
+                ).astype(flow_t)
 
         return prepare.interframe_params(
             flow_fn, frames_255, photo_thresh=self.config.photo_occ_thresh
@@ -535,12 +553,19 @@ class FrescoPipeline:
             )
 
         try:
-            fut = prep_ex.submit(prep, 0)
+            # sync_phases mode runs prep serially: overlapped prep-thread
+            # timers would block behind whatever device work is already
+            # queued (the concurrent denoise scan) and report queue wait,
+            # not phase cost — the exact misattribution the flag exists
+            # to prevent
+            overlap = not self.sync_phases
+            fut = (prep_ex.submit(prep, 0)
+                   if (sublists and overlap) else None)
             for batch_ind, sub in enumerate(sublists):
                 t0 = time.time()
                 propagation = batch_ind > 0
-                prepared = fut.result()
-                if batch_ind + 1 < len(sublists):
+                prepared = fut.result() if overlap else prep(batch_ind)
+                if overlap and batch_ind + 1 < len(sublists):
                     fut = prep_ex.submit(prep, batch_ind + 1)
                 latents = self._run_batch(prepared, record, propagation, rng)
                 check_finite(f"batch{batch_ind}_latents", latents[0])

@@ -23,10 +23,12 @@ row is already slower than (A), the fused kernel cannot win at any
 extraction cost, and the pre-stacked-table + XLA-gather formulation is
 confirmed as the TPU optimum for this access pattern.
 
-Timing per CLAUDE.md: >= 32 serial iterations inside ONE jit, fetch a
-slice (the tunnel's ~60-70 ms fetch RTT otherwise swamps per-op cost).
+Timing per CLAUDE.md: >= 64 serial iterations inside ONE jit, fetch a
+slice (the tunnel's ~60-70 ms fetch RTT otherwise swamps per-op cost:
+at 32 iters x n=40960 rows the RTT alone contributes ~50 ns/row — 3x
+the 17 ns/row signal being measured).
 
-    python scripts/bench_fused_eval.py [--n 327680] [--iters 32]
+    python scripts/bench_fused_eval.py [--n 327680] [--iters 64]
 """
 from __future__ import annotations
 
@@ -173,7 +175,7 @@ def main():
                          "prefetched index vectors; the per-row cost is "
                          "N-independent above the dispatch floor — "
                          "bench_gather.py)")
-    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--sh", type=int, default=640)
     ap.add_argument("--sw", type=int, default=512)
     ap.add_argument("--interpret", action="store_true",

@@ -118,3 +118,36 @@ def test_pipelined_failure_does_not_hang(tmp_path):
     pipe._decode_jit = lambda params, lat: lat
     with pytest.raises(RuntimeError, match="denoise failed"):
         pipe.translate_keyframes(verbose=False)
+
+
+@pytest.mark.skipif(not os.path.exists(MUSIC), reason="demo clip missing")
+def test_sync_phases_disables_prep_overlap(tmp_path):
+    """sync_phases=True must run prep SERIALLY on the main thread:
+    an overlapped prep timer blocks behind the in-flight denoise scan
+    on the single device stream and reports queue wait as phase cost
+    (cli.py --sync-phases contract)."""
+    import threading
+
+    pipe, cfg = _make_pipe(tmp_path)
+    pipe.sync_phases = True
+    events = []
+    main = threading.get_ident()
+
+    def fake_prep(imgs, prompts, n_prompts, rng):
+        events.append(("prep", threading.get_ident() == main))
+        return {"imgs": list(imgs)}
+
+    def fake_run(prepared, record, propagation, rng):
+        events.append(("run", threading.get_ident() == main))
+        n = len(prepared["imgs"])
+        return jnp.zeros((n, 8, 8, 4)), record
+
+    pipe._prepare_batch = fake_prep
+    pipe._run_batch = fake_run
+    pipe._decode_jit = lambda params, lat: jnp.zeros(
+        (lat.shape[0], 64, 64, 3)
+    )
+    keys = pipe.translate_keyframes(verbose=False)
+    assert len(keys) == 12
+    # strict prep->run interleaving, every call on the main thread
+    assert events == [("prep", True), ("run", True)] * 2
