@@ -224,6 +224,30 @@ def saliency_input(imgs_rgb: np.ndarray) -> jnp.ndarray:
     return resize_bilinear(jnp.asarray(x), (h // 2, w // 2))
 
 
+def make_saliency_fn(egnet: EGNet, params, dilate_kernel=7, dtype=None):
+    """Jitted end-to-end background-mask fn: imgs_rgb [F,H,W,3] uint8 ->
+    [F, H/2, W/2, 1] float32 mask (same math as
+    ``saliency_background_mask``).
+
+    One compiled program instead of the eager per-op dispatch: XLA
+    fuses conv+BN+relu chains and dead-code-eliminates the up_edge /
+    up_sal heads (and their full-resolution resizes) that FRESCO never
+    consumes (reference src/utils.py:98-99 reads only
+    ``up_sal_final[-1]``).  Params are passed as arguments, not closure
+    constants, so the remote-compile upload stays small."""
+    from fresco_tpu.ops.morphology import dilate
+
+    @jax.jit
+    def _mask(p, x):
+        if dtype is not None:
+            x = x.astype(dtype)
+        _, _, up_score = egnet.apply(p, x)
+        sal = jax.nn.sigmoid(up_score[-1].astype(jnp.float32))
+        return 1.0 - dilate(sal, dilate_kernel)
+
+    return lambda imgs_rgb: _mask(params, saliency_input(np.asarray(imgs_rgb)))
+
+
 def saliency_background_mask(egnet: EGNet, params, imgs_rgb, dilate_kernel=7,
                              dtype=None):
     """Background mask = 1 - dilate(sigmoid(final score))

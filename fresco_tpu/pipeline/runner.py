@@ -232,15 +232,13 @@ def _build_saliency(config: FrescoConfig):
     if not config.sod_path or not os.path.exists(str(config.sod_path)):
         return None
     from fresco_tpu.models import convert as C
-    from fresco_tpu.models.egnet import (
-        EGNet, convert_egnet, saliency_background_mask,
-    )
+    from fresco_tpu.models.egnet import EGNet, convert_egnet, make_saliency_fn
 
     model = EGNet()
     params = {"params": convert_egnet(C.load_torch_state_dict(config.sod_path))}
     params = _aux_caster(config.aux_dtype)(params)
-    return lambda imgs: saliency_background_mask(
-        model, params, imgs, dtype=_AUX_DTYPES.get(config.aux_dtype)
+    return make_saliency_fn(
+        model, params, dtype=_AUX_DTYPES.get(config.aux_dtype)
     )
 
 

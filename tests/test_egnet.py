@@ -57,3 +57,21 @@ def test_saliency_mask_range(rng):
     mask = saliency_background_mask(model, params, imgs)
     assert mask.shape == (1, 32, 32, 1)
     assert float(mask.min()) >= 0.0 and float(mask.max()) <= 1.0
+
+
+def test_make_saliency_fn_matches_eager(rng):
+    """The jitted runner path (make_saliency_fn) must be numerically
+    identical to the documented eager formulation."""
+    from fresco_tpu.models.egnet import (
+        make_saliency_fn, saliency_background_mask, saliency_input,
+    )
+
+    model = EGNet()
+    imgs = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    params = model.init(jax.random.key(0), saliency_input(imgs))
+
+    ref = np.asarray(saliency_background_mask(model, params, imgs))
+    out = np.asarray(make_saliency_fn(model, params)(imgs))
+    assert out.shape == (2, 32, 32, 1)
+    # jit fusion reassociates float ops: observed max |diff| ~1e-6
+    np.testing.assert_allclose(out, ref, atol=1e-4)
