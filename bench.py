@@ -104,9 +104,9 @@ def _bench_frames():
     to synthetic noise if the clip is unavailable."""
     import numpy as np
 
-    from fresco_tpu.utils.clips import read_frames
+    from fresco_tpu.utils.clips import bundled_clip, read_frames
 
-    frames = read_frames("/root/reference/data/music.mp4", FRAMES, stride=5)
+    frames = read_frames(bundled_clip("music.mp4"), FRAMES, stride=5)
     if frames and len(frames) >= FRAMES:
         import cv2
 

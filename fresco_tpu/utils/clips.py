@@ -6,7 +6,23 @@ cv2 plumbing instead of three drifting copies.
 """
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
+
+#: repo root (this file lives at fresco_tpu/utils/clips.py)
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+
+def bundled_clip(name: str) -> str:
+    """Path to a bundled demo clip (``data/<name>`` in this repo —
+    the four reference demo videos ship with the repo so benches and
+    the parity sweep run standalone).  Falls back to the reference
+    checkout's copy when the repo-local file is absent."""
+    local = _REPO_ROOT / "data" / name
+    if local.exists():
+        return str(local)
+    return f"/root/reference/data/{name}"
 
 
 def read_frames(path: str, count: int, stride: int = 1) -> list | None:

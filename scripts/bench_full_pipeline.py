@@ -74,9 +74,9 @@ def main():
     # cross-frame key valid (degenerate masks -> dense attention under
     # cf_key_cap='auto'); real content carries the representative ~1.3*hw
     # valid-key statistics (see bench.py)
-    from fresco_tpu.utils.clips import read_frames
+    from fresco_tpu.utils.clips import bundled_clip, read_frames
 
-    vid = read_frames("/root/reference/data/music.mp4", args.frames, stride=5)
+    vid = read_frames(bundled_clip("music.mp4"), args.frames, stride=5)
     if vid:
         import cv2
 

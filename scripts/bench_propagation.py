@@ -15,6 +15,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fresco_tpu.utils.clips import bundled_clip
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -39,7 +41,7 @@ def main():
     from fresco_tpu.propagate.patchmatch import PatchMatchConfig
     from fresco_tpu.propagate.rejected import synthesize_batch
 
-    cap = cv2.VideoCapture("/root/reference/data/music.mp4")
+    cap = cv2.VideoCapture(bundled_clip("music.mp4"))
     ok1, f0 = cap.read()
     ok2, f1 = cap.read()
     cap.release()

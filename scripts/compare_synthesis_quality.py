@@ -20,7 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CLIP = "/root/reference/data/music.mp4"
+from fresco_tpu.utils.clips import bundled_clip
+
+CLIP = bundled_clip("music.mp4")
 
 
 def psnr(a, b):

@@ -19,6 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from fresco_tpu.utils.clips import bundled_clip
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -38,7 +40,7 @@ def main():
     )
     from fresco_tpu.propagate.patchmatch import PatchMatchConfig, synthesize
 
-    cap = cv2.VideoCapture("/root/reference/data/music.mp4")
+    cap = cv2.VideoCapture(bundled_clip("music.mp4"))
     ok1, f0 = cap.read()
     ok2, f1 = cap.read()
     cap.release()
