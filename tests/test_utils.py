@@ -66,3 +66,23 @@ def test_evaluate_consistency_centered_window(tmp_path, monkeypatch):
     assert f.shape[0] == 16
     # centered: window starts at (50-16)//2 = 17; frame value encodes index
     assert int(f[0, 0, 0, 0]) == 17 and int(f[-1, 0, 0, 0]) == 32
+
+
+def test_bundled_clip_prefers_repo_local():
+    from pathlib import Path
+
+    from fresco_tpu.utils.clips import bundled_clip, read_frames
+
+    for name in (
+        "music.mp4", "car-turn.mp4", "dog.mp4",
+        "boxer-punching-towards-camera.mp4",
+    ):
+        p = bundled_clip(name)
+        assert Path(p).exists(), p
+        assert "/data/" in p and not p.startswith("/root/reference"), p
+    # the clip actually decodes
+    frames = read_frames(bundled_clip("music.mp4"), 2)
+    assert frames is not None and len(frames) == 2
+    assert frames[0].ndim == 3 and frames[0].shape[2] == 3
+    # unknown names fall back to the reference checkout path
+    assert bundled_clip("nope.mp4") == "/root/reference/data/nope.mp4"
