@@ -308,6 +308,27 @@ def _wait_for_device(max_wait_s: int = 1800, probe_interval: int = 60) -> bool:
         time.sleep(probe_interval)
 
 
+def _retry(label, fn, attempts=3):
+    """Run one bench phase, retrying on transient tunnel failures.
+
+    The axon remote-compile/fetch endpoints occasionally drop mid-run
+    (observed: "response body closed before all bytes were read" INTERNAL
+    errors) — without this, one hiccup loses the whole one-shot bench.
+    Compiles hit the persistent cache on retry, so a repeat is cheap;
+    `_wait_for_device` re-probes (in a killable subprocess) before it."""
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn()
+        except Exception as e:  # jax wraps backend errors variously
+            if attempt == attempts:
+                raise
+            print(f"[bench] {label} failed (attempt {attempt}/{attempts}): "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            time.sleep(30)
+            if not _wait_for_device():
+                raise
+
+
 def main():
     from fresco_tpu.core.cache import enable_compilation_cache
 
@@ -316,14 +337,18 @@ def main():
         return 1
 
     t0 = time.perf_counter()
-    plain = bench_plain_loop()
+    plain = _retry("plain loop", bench_plain_loop)
     print(f"[bench] plain loop: {plain:.3f} kf/s ({time.perf_counter()-t0:.0f}s)",
           file=sys.stderr, flush=True)
-    attn_only, attn_stats = bench_pipeline(use_opt=False)
+    attn_only, attn_stats = _retry(
+        "attention-only pipeline", lambda: bench_pipeline(use_opt=False)
+    )
     print(f"[bench] attention-only pipeline: {attn_only:.3f} kf/s "
           f"(spread {attn_stats['spread_pct']}%)",
           file=sys.stderr, flush=True)
-    full, full_stats = bench_pipeline(use_opt=True)
+    full, full_stats = _retry(
+        "full pipeline", lambda: bench_pipeline(use_opt=True)
+    )
     # Full-pipeline baseline, derived: the 0.65 proxy EXCLUDES the
     # reference's in-loop optimization, which the full pipeline runs.
     # The reference executes ~500 TFLOP of feature optimization per
